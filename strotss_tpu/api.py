@@ -1,0 +1,42 @@
+"""High-level library API: one call = one stylization."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from strotss_tpu.config import StrotssConfig
+from strotss_tpu.models.weights import load_vgg_params
+from strotss_tpu.solve import stylize_single
+
+
+def stylize(
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    cfg: Optional[StrotssConfig] = None,
+    content_masks: Optional[jnp.ndarray] = None,
+    style_masks: Optional[jnp.ndarray] = None,
+    vgg_params=None,
+    key: Optional[jax.Array] = None,
+    progress_cb=None,
+) -> Tuple[jnp.ndarray, Dict]:
+    """Stylize ``content`` with ``style`` (both (1,H,W,3) float in [0,1]).
+
+    Returns the uint8 HWC stylized image and an info dict with per-scale
+    losses and timings. See :class:`strotss_tpu.StrotssConfig` for knobs.
+    """
+    cfg = cfg or StrotssConfig()
+    if vgg_params is None:
+        vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
+    return stylize_single(
+        content,
+        style,
+        cfg,
+        vgg_params,
+        content_masks=content_masks,
+        style_masks=style_masks,
+        key=key,
+        progress_cb=progress_cb,
+    )

@@ -1,0 +1,165 @@
+"""CLI with the same surface as the reference's ``run_strotss.py``.
+
+Flag names, defaults, positional args, and log messages mirror
+``/root/reference/run_strotss.py:164-180``, with the reference's
+``--level`` type bug fixed (it declared ``type=float``, which crashes
+``range(level)`` whenever the flag is passed explicitly). ``--gpu_id``
+becomes ``--device_id`` (TPU chip index) with the old spelling accepted as
+an alias. TPU-specific additions: ``--compute_dtype``, ``--seed``,
+``--log_every``, ``--no_pallas``, ``--sinkhorn``, ``--profile_dir``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from strotss_tpu.config import StrotssConfig
+from strotss_tpu.utils.logging import make_logger
+from strotss_tpu.utils.timing import Timer
+
+logger = make_logger("STROTSS")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="strotss_tpu",
+        description="TPU-native STROTSS style transfer",
+    )
+    parser.add_argument("content_path", type=str)
+    parser.add_argument("style_path", type=str)
+    parser.add_argument("--content_mask", type=str, default=None)
+    parser.add_argument("--style_mask", type=str, default=None)
+    parser.add_argument("--max_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--level", type=int, default=4)
+    parser.add_argument("--max_iter", type=int, default=200)
+    parser.add_argument("--alpha", type=float, default=1.0)
+    parser.add_argument("--use_keras_weight", action="store_true")
+    parser.add_argument("--gpu_id", "--device_id", type=int, default=0,
+                        dest="device_id")
+    parser.add_argument("--output_path", "-o", type=str, default="output.jpg")
+    # TPU-native extensions
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--sinkhorn", action="store_true",
+                        help="full entropic OT instead of relaxed EMD")
+    parser.add_argument("--profile_dir", type=str, default=None)
+    parser.add_argument("--save_every", type=int, default=0)
+    parser.add_argument("--taps", type=str, default=None,
+                        help="comma-separated VGG tap layers "
+                             "(default: the 9 STROTSS taps)")
+    return parser
+
+
+def set_device(index: int = 0) -> None:
+    """Pin one accelerator, analogous to the reference's ``set_gpu``
+    (``nn/utils.py:73-85``): logs and falls back to CPU when none found."""
+    import jax
+
+    devices = [d for d in jax.devices() if d.platform != "cpu"]
+    if devices:
+        if index >= len(devices):
+            raise ValueError(f"Invalid device ID: {index}")
+        jax.config.update("jax_default_device", devices[index])
+    else:
+        logger.info("Accelerator not found. Using CPU.")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    timer = Timer()
+    timer.start()
+
+    import jax
+
+    from strotss_tpu.api import stylize
+    from strotss_tpu.ops.masks import load_mask
+    from strotss_tpu.utils.io import load_image, write_image
+
+    set_device(args.device_id)
+
+    cfg = StrotssConfig(
+        lr=args.lr,
+        levels=args.level,
+        max_iter=args.max_iter,
+        alpha=args.alpha,
+        max_size=args.max_size,
+        use_keras_weight=args.use_keras_weight,
+        compute_dtype=args.compute_dtype,
+        seed=args.seed,
+        log_every=args.log_every,
+        use_pallas=not args.no_pallas,
+        use_sinkhorn=args.sinkhorn,
+        profile_dir=args.profile_dir,
+        save_every=args.save_every,
+        taps=tuple(args.taps.split(",")) if args.taps else None,
+    )
+
+    content = load_image(args.content_path, max_size=args.max_size)
+    style = load_image(args.style_path, max_size=args.max_size)
+
+    content_masks = style_masks = None
+    if args.content_mask and args.style_mask:
+        content_masks, style_masks = load_mask(
+            args.content_mask, args.style_mask, max_size=args.max_size
+        )
+        logger.info(f"Loaded {content_masks.shape[0]} masks.")
+    elif args.content_mask or args.style_mask:
+        raise ValueError(
+            "Either both content and style masks must be provided or neither."
+        )
+
+    try:
+        from tqdm import tqdm
+
+        bar = tqdm(total=cfg.levels * cfg.max_iter)
+        prog = {"base": 0, "scl": None}
+
+        def progress(scl, done, total, metrics):
+            if prog["scl"] != scl:
+                if prog["scl"] is not None:
+                    prog["base"] += total
+                prog["scl"] = scl
+            bar.set_description(f"Scale: {scl:4d} - It: {done:4d}")
+            bar.set_postfix({k: f"{v:.3f}" for k, v in metrics.items()})
+            bar.n = prog["base"] + done
+            bar.refresh()
+    except ImportError:  # tqdm optional
+        bar = None
+
+        def progress(scl, done, total, metrics):
+            logger.info(
+                f"Scale: {scl:4d} - It: {done:4d}/{total} "
+                + " ".join(f"{k}={v:.3f}" for k, v in metrics.items())
+            )
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    final, info = stylize(
+        content,
+        style,
+        cfg,
+        content_masks=content_masks,
+        style_masks=style_masks,
+        progress_cb=progress,
+    )
+
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
+    if bar is not None:
+        bar.close()
+
+    timer.stop()
+    logger.info(f"Done in {timer.elapsed_time:.2f}s.")
+    write_image(final, args.output_path)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Configuration for the STROTSS TPU pipeline.
+
+The reference exposes a flat 11-flag argparse namespace
+(``/root/reference/run_strotss.py:164-178``); here the same knobs live in a
+dataclass so the library API is usable without the CLI, plus TPU-specific
+knobs (compute dtype, scan chunking, profiling) that have no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class StrotssConfig:
+    """All knobs for one stylization run.
+
+    Reference-parity fields (same defaults as ``run_strotss.py:164-178``):
+
+    - ``lr``: RMSprop learning rate (``--lr``, default 2e-3).
+    - ``levels``: number of coarse-to-fine scales (``--level``; the reference
+      declares it ``type=float`` which crashes when passed explicitly — fixed
+      to int here).
+    - ``max_iter``: optimizer steps per scale (``--max_iter``, 200).
+    - ``alpha``: content weight (``--alpha``, 1.0); internally scaled x16
+      (x3500 more under keras weights) like ``run_strotss.py:65``.
+    - ``max_size``: aspect-preserving cap on the longest input edge.
+    - ``use_keras_weight``: stock-Keras-ImageNet VGG weights + caffe
+      preprocessing instead of the normalized STROTSS weights.
+    """
+
+    # --- reference CLI surface -------------------------------------------
+    lr: float = 2e-3
+    levels: int = 4
+    max_iter: int = 200
+    alpha: float = 1.0
+    max_size: Optional[int] = None
+    use_keras_weight: bool = False
+
+    # --- model -----------------------------------------------------------
+    vgg_type: str = "16"  # '16' or '19', reference nn/model.py:21-25
+    #: VGG tap layers; None = the 9 STROTSS defaults (nn/model.py:7-15).
+    taps: Optional[tuple] = None
+    sample_size: int = 1024  # reference run_strotss.py:68
+    pyramid_levels: int = 5  # reference nn/strotss_utils.py:149
+
+    # --- TPU-native knobs (new capabilities) ------------------------------
+    #: dtype for the VGG conv path; losses always run in float32.
+    compute_dtype: str = "bfloat16"
+    #: steps per jitted scan chunk (host sees progress between chunks).
+    log_every: int = 50
+    #: base PRNG seed (reference nn/rand.py seeds everything to 0).
+    seed: int = 0
+    #: use the fused Pallas REMD kernel where shapes allow.
+    use_pallas: bool = True
+    #: optional jax.profiler trace directory.
+    profile_dir: Optional[str] = None
+    #: dump intermediate stylized images every N steps (0 = off).
+    save_every: int = 0
+    #: use Sinkhorn-iterated full OT instead of REMD for the style loss.
+    use_sinkhorn: bool = False
+    sinkhorn_lambda: float = 10.0
+    sinkhorn_iters: int = 30
+
+    def scale_sizes(self) -> list:
+        """The coarse-to-fine long-edge schedule: 64, 128, 256, 512, ...
+
+        Matches ``scl = 2 << (5 + i)`` at ``run_strotss.py:71``.
+        """
+        return [2 << (5 + i) for i in range(self.levels)]
+
+    def initial_alpha(self) -> float:
+        """alpha * 16, x3500 in keras-weight mode (``run_strotss.py:65``)."""
+        return self.alpha * 16.0 * (3500.0 if self.use_keras_weight else 1.0)

@@ -1,0 +1,194 @@
+"""Pure-functional VGG16/19 hypercolumn feature extractor.
+
+TPU-native rewrite of the reference's Keras-based extractor
+(``/root/reference/nn/model.py:17-55``): parameters are a plain pytree
+(dict of ``{name: {'kernel','bias'}}``), the forward pass is
+``lax.conv_general_dilated`` in NHWC with optional bfloat16 compute (conv
+accumulation stays float32 via ``preferred_element_type``), and the network
+is truncated at the deepest requested tap — the reference builds all of
+VGG16 and discards the tail.
+
+Tap semantics match Keras: a ``blockN_convM`` output is the *post-ReLU*
+activation of that conv. Default taps (``nn/model.py:7-15``)::
+
+    block1_conv1, block1_conv2, block2_conv1, block2_conv2,
+    block3_conv1, block3_conv2, block3_conv3, block4_conv3, block5_conv3
+
+Two preprocessing modes, as in the reference (``nn/model.py:30-38,50-51``):
+
+- ``norm`` (default weights): ``(x - imagenet_mean) / imagenet_std`` on RGB
+  in [0,1].
+- ``keras``: caffe-style — scale to [0,255], RGB→BGR, subtract BGR means
+  (what ``tf.keras.applications.vgg16.preprocess_input(x*255)`` does).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+STROTSS_DEFAULT_TAPS = (
+    "block1_conv1",
+    "block1_conv2",
+    "block2_conv1",
+    "block2_conv2",
+    "block3_conv1",
+    "block3_conv2",
+    "block3_conv3",
+    "block4_conv3",
+    "block5_conv3",
+)
+
+# convs per block
+_BLOCK_CONVS = {"16": (2, 2, 3, 3, 3), "19": (2, 2, 4, 4, 4)}
+_BLOCK_WIDTHS = (64, 128, 256, 512, 512)
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+_CAFFE_BGR_MEAN = (103.939, 116.779, 123.68)
+
+
+def vgg_layer_names(vgg_type: str = "16") -> List[str]:
+    """Ordered conv layer names: block1_conv1 ... block5_convN."""
+    vgg_type = str(vgg_type)
+    assert vgg_type in _BLOCK_CONVS, f"vgg_type must be 16 or 19, got {vgg_type}"
+    names = []
+    for b, n in enumerate(_BLOCK_CONVS[vgg_type], start=1):
+        for c in range(1, n + 1):
+            names.append(f"block{b}_conv{c}")
+    return names
+
+
+def vgg_layer_channels(vgg_type: str = "16") -> Dict[str, int]:
+    return {
+        name: _BLOCK_WIDTHS[int(name[5]) - 1] for name in vgg_layer_names(vgg_type)
+    }
+
+
+def hypercolumn_channels(
+    taps: Sequence[str] = STROTSS_DEFAULT_TAPS, vgg_type: str = "16"
+) -> int:
+    """Total channels of image + tapped maps (2179 for the defaults)."""
+    chans = vgg_layer_channels(vgg_type)
+    return 3 + sum(chans[t] for t in taps)
+
+
+def preprocess(x: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
+    """Input normalization; ``x`` is NHWC RGB in [0, 1]."""
+    if mode == "norm":
+        mean = jnp.asarray(_IMAGENET_MEAN, x.dtype).reshape(1, 1, 1, 3)
+        std = jnp.asarray(_IMAGENET_STD, x.dtype).reshape(1, 1, 1, 3)
+        return (x - mean) / std
+    if mode == "keras":
+        bgr = (x * 255.0)[..., ::-1]
+        return bgr - jnp.asarray(_CAFFE_BGR_MEAN, x.dtype).reshape(1, 1, 1, 3)
+    raise ValueError(f"Unknown preprocess mode: {mode}")
+
+
+def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    # float32 inputs get true-f32 accumulation (XLA:CPU otherwise drops to
+    # bf16 fast paths); bf16 inputs ride the MXU at full speed.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    y = y + bias.astype(jnp.float32)
+    y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def _maxpool(x: jnp.ndarray) -> jnp.ndarray:
+    # Keras MaxPooling2D: 2x2 window, stride 2, VALID padding.
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def vgg_apply(
+    params: Dict[str, Dict[str, jnp.ndarray]],
+    x: jnp.ndarray,
+    taps: Sequence[str] = STROTSS_DEFAULT_TAPS,
+    vgg_type: str = "16",
+    preprocess_mode: str = "norm",
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> List[jnp.ndarray]:
+    """Run VGG on NHWC [0,1] RGB; return the tapped activations in order.
+
+    Stops after the deepest tap. ``compute_dtype=bfloat16`` runs the conv
+    stack on the MXU in bf16 with f32 accumulation.
+    """
+    taps = list(taps)
+    names = vgg_layer_names(vgg_type)
+    deepest = max(names.index(t) for t in taps)
+
+    h = preprocess(x.astype(jnp.float32), preprocess_mode).astype(compute_dtype)
+    outs: Dict[str, jnp.ndarray] = {}
+    idx = 0
+    n_blocks = len(_BLOCK_CONVS[vgg_type])
+    for b in range(n_blocks):
+        for _ in range(_BLOCK_CONVS[vgg_type][b]):
+            name = names[idx]
+            p = params[name]
+            h = _conv(h, p["kernel"].astype(compute_dtype), p["bias"])
+            if name in taps:
+                outs[name] = h
+            if idx == deepest:
+                return [outs[t] for t in taps]
+            idx += 1
+        h = _maxpool(h)
+    return [outs[t] for t in taps]
+
+
+class VGGExtractor:
+    """Convenience wrapper bundling params + settings; ``__call__`` mirrors
+    the reference ``VGG.__call__`` contract (list of tap tensors;
+    caller prepends the raw image to form the hypercolumn,
+    ``run_strotss.py:95-96``)."""
+
+    def __init__(
+        self,
+        layers: Optional[Sequence[str]] = None,
+        vgg_type: str = "16",
+        use_keras_weight: bool = False,
+        compute_dtype=jnp.float32,
+        params: Optional[dict] = None,
+    ):
+        from strotss_tpu.models.weights import load_vgg_params
+
+        self.vgg_type = str(vgg_type)
+        assert self.vgg_type in ("16", "19")
+        self.taps = tuple(layers or STROTSS_DEFAULT_TAPS)
+        self.preprocess_mode = "keras" if use_keras_weight else "norm"
+        self.compute_dtype = compute_dtype
+        self.params = (
+            params
+            if params is not None
+            else load_vgg_params(self.vgg_type, use_keras_weight)
+        )
+
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        return vgg_apply(
+            self.params,
+            x,
+            taps=self.taps,
+            vgg_type=self.vgg_type,
+            preprocess_mode=self.preprocess_mode,
+            compute_dtype=self.compute_dtype,
+        )

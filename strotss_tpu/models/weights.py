@@ -1,0 +1,193 @@
+"""VGG weight acquisition, conversion, and caching.
+
+The reference downloads third-party normalized VGG weights
+(``vgg16_norm.h5`` from ``https://ppza53893.github.io/box/weights/``,
+``/root/reference/nn/model.py:6,31-33``) or falls back to stock Keras
+ImageNet weights. This build must also work fully offline, so weights are
+resolved in order:
+
+1. ``$STROTSS_TPU_WEIGHTS`` — explicit ``.npz`` or ``.h5`` path.
+2. The local npz cache ``~/.cache/strotss_tpu/vgg{16,19}_{norm,imagenet}.npz``.
+3. Any matching Keras ``.h5`` under ``~/.keras/models`` / ``~/.keras/datasets``
+   (converted once, then cached as npz).
+4. A network download via ``tf.keras`` if TensorFlow and egress are available.
+5. **Deterministic random init** (He-normal, fixed seed) with a loud warning —
+   the pipeline stays fully functional and benchmarkable; stylization
+   quality then reflects random features rather than ImageNet features.
+
+Param pytree layout: ``{layer_name: {'kernel': (3,3,cin,cout) f32,
+'bias': (cout,) f32}}`` with Keras layer names (``block1_conv1``...).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strotss_tpu.models.vgg import vgg_layer_channels, vgg_layer_names
+from strotss_tpu.utils.logging import logger
+
+Params = Dict[str, Dict[str, jnp.ndarray]]
+
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "strotss_tpu")
+
+
+def _cache_path(vgg_type: str, use_keras_weight: bool) -> str:
+    tag = "imagenet" if use_keras_weight else "norm"
+    return os.path.join(_CACHE_DIR, f"vgg{vgg_type}_{tag}.npz")
+
+
+def save_npz(params: Params, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    flat = {}
+    for name, p in params.items():
+        flat[f"{name}.kernel"] = np.asarray(p["kernel"], dtype=np.float32)
+        flat[f"{name}.bias"] = np.asarray(p["bias"], dtype=np.float32)
+    np.savez(path, **flat)
+
+
+def _load_npz(path: str, vgg_type: str) -> Params:
+    data = np.load(path)
+    params: Params = {}
+    for name in vgg_layer_names(vgg_type):
+        params[name] = {
+            "kernel": jnp.asarray(data[f"{name}.kernel"]),
+            "bias": jnp.asarray(data[f"{name}.bias"]),
+        }
+    return params
+
+
+def _load_h5(path: str, vgg_type: str) -> Optional[Params]:
+    """Convert a Keras-format VGG .h5 into our pytree.
+
+    Tolerant to both layouts seen in the wild: per-layer groups holding
+    ``kernel:0``/``bias:0`` datasets, or legacy ``<name>_W``/``<name>_b``.
+    Matches 4-D kernels to conv layers in file order.
+    """
+    try:
+        import h5py
+    except ImportError:
+        return None
+    kernels, biases = [], []
+
+    def visit(name, obj):
+        if hasattr(obj, "shape") and obj.ndim == 4:
+            kernels.append((name, np.asarray(obj)))
+        elif hasattr(obj, "shape") and obj.ndim == 1 and obj.shape[0] >= 64:
+            biases.append((name, np.asarray(obj)))
+
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        root.visititems(visit)
+
+    names = vgg_layer_names(vgg_type)
+    chans = vgg_layer_channels(vgg_type)
+    if len(kernels) < len(names):
+        return None
+    params: Params = {}
+    for name, (kn, k), (bn, b) in zip(names, kernels, biases):
+        if k.shape[-1] != chans[name] or b.shape[0] != chans[name]:
+            logger.warning(
+                f"h5 layer shape mismatch at {name}: {k.shape}/{b.shape}; "
+                "skipping this weight file"
+            )
+            return None
+        params[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+    return params
+
+
+def params_from_keras_model(model, vgg_type: str) -> Params:
+    """Extract our param pytree from a live tf.keras VGG model."""
+    params: Params = {}
+    for name in vgg_layer_names(vgg_type):
+        k, b = model.get_layer(name).get_weights()
+        params[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+    return params
+
+
+def random_params(vgg_type: str = "16", seed: int = 0) -> Params:
+    """Deterministic He-normal init — offline fallback."""
+    params: Params = {}
+    cin = 3
+    key = jax.random.PRNGKey(seed)
+    for name in vgg_layer_names(vgg_type):
+        cout = vgg_layer_channels(vgg_type)[name]
+        kkey = jax.random.fold_in(key, hash(name) % (2 ** 31))
+        fan_in = 3 * 3 * cin
+        std = float(np.sqrt(2.0 / fan_in))
+        params[name] = {
+            "kernel": jax.random.normal(kkey, (3, 3, cin, cout), jnp.float32) * std,
+            "bias": jnp.zeros((cout,), jnp.float32),
+        }
+        cin = cout
+    return params
+
+
+def _try_keras_download(vgg_type: str) -> Optional[Params]:
+    try:
+        import tensorflow as tf  # noqa: F401
+
+        cls = (
+            tf.keras.applications.VGG16
+            if vgg_type == "16"
+            else tf.keras.applications.VGG19
+        )
+        model = cls(include_top=False, weights="imagenet")
+        return params_from_keras_model(model, vgg_type)
+    except Exception as e:  # offline / no TF — expected in this environment
+        logger.info(f"Keras ImageNet weights unavailable ({type(e).__name__}).")
+        return None
+
+
+def load_vgg_params(vgg_type: str = "16", use_keras_weight: bool = False) -> Params:
+    vgg_type = str(vgg_type)
+
+    env = os.environ.get("STROTSS_TPU_WEIGHTS")
+    if env and os.path.exists(env):
+        if env.endswith(".npz"):
+            return _load_npz(env, vgg_type)
+        p = _load_h5(env, vgg_type)
+        if p is not None:
+            return p
+        logger.warning(f"Could not parse STROTSS_TPU_WEIGHTS={env}")
+
+    cache = _cache_path(vgg_type, use_keras_weight)
+    if os.path.exists(cache):
+        return _load_npz(cache, vgg_type)
+
+    keras_home = os.path.join(os.path.expanduser("~"), ".keras")
+    candidates = []
+    for sub in ("models", "datasets"):
+        d = os.path.join(keras_home, sub)
+        if os.path.isdir(d):
+            tag = "norm" if not use_keras_weight else ""
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".h5") and f"vgg{vgg_type}" in fn.lower():
+                    if not use_keras_weight and "norm" not in fn.lower():
+                        continue
+                    candidates.append(os.path.join(d, fn))
+    for path in candidates:
+        p = _load_h5(path, vgg_type)
+        if p is not None:
+            logger.info(f"Converted VGG weights from {path}")
+            save_npz(p, cache)
+            return p
+
+    if use_keras_weight:
+        p = _try_keras_download(vgg_type)
+        if p is not None:
+            save_npz(p, cache)
+            return p
+
+    logger.warning(
+        f"No pretrained VGG{vgg_type} weights found (offline?). Falling back "
+        "to deterministic random init — stylization quality will not match "
+        "ImageNet-feature STROTSS. Provide weights via $STROTSS_TPU_WEIGHTS."
+    )
+    params = random_params(vgg_type, seed=0)
+    save_npz(params, _cache_path(vgg_type, use_keras_weight) + ".random.npz")
+    return params

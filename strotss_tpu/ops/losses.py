@@ -1,0 +1,212 @@
+"""STROTSS losses: distances, relaxed EMD, self-similarity, moments, Sinkhorn.
+
+Loss-equivalence contract with the reference (``/root/reference/nn/losses.py``):
+
+- ``cosine_distance``: rows l2-normalized with floor 1e-12, ``1 - x̂ ŷᵀ``
+  (``nn/losses.py:12-15``).
+- ``l2_distance``: squared-expansion pairwise distance, floored at 1e-6,
+  divided by the channel count, then sqrt (``nn/losses.py:18-24``).
+- ``self_similarity``: each self-cosine matrix is column-sum-normalized with
+  floor 1e-12; MAE between them scaled by the row count
+  (``nn/losses.py:55-66``).
+- ``moment_matching``: MAE of means + MAE of biased covariances
+  (``nn/losses.py:39-52``).
+- ``relaxed_emd``: ``max(mean(row-min C), mean(col-min C))``
+  (``nn/losses.py:69-80``).
+- ``sinkhorn``: a *working* entropic OT (the reference's is dead code and
+  buggy — builds its scaling vectors from a shape tensor,
+  ``nn/losses.py:83-105``).
+
+Everything is pure jnp in float32, fused by XLA; ``relaxed_emd`` can route
+the cost-matrix + min reduction through a Pallas kernel that never
+materializes N x M in HBM (``strotss_tpu/ops/kernels/remd.py``) for large N.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from strotss_tpu.ops.image import rgb_to_yuv
+
+_L2NORM_EPS = 1e-12
+_L2DIST_EPS = 1e-6
+_COLSUM_EPS = 1e-12
+
+
+def mse(x, y, axis=None, keepdims=False):
+    return jnp.mean(jnp.square(x - y), axis=axis, keepdims=keepdims)
+
+
+def mae(x, y, axis=None, keepdims=False):
+    return jnp.mean(jnp.abs(x - y), axis=axis, keepdims=keepdims)
+
+
+def _f32(x):
+    return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+
+
+def l2_normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Row-normalize like ``tf.nn.l2_normalize(x, axis=1)`` (eps 1e-12)."""
+    sq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, _L2NORM_EPS))
+
+
+def cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise cosine distance matrix ``1 - x̂ ŷᵀ`` of shape (N, M)."""
+    x, y = _f32(x), _f32(y)
+    return 1.0 - jnp.matmul(
+        l2_normalize_rows(x), l2_normalize_rows(y).T, precision="highest"
+    )
+
+
+def l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Channel-normalized pairwise L2 distance matrix of shape (N, M)."""
+    x, y = _f32(x), _f32(y)
+    x_sq = jnp.sum(jnp.square(x), axis=1)[:, None]
+    y_sq = jnp.sum(jnp.square(y), axis=1)[None, :]
+    m = x_sq + y_sq - 2.0 * jnp.matmul(x, y.T, precision="highest")
+    m = jnp.maximum(m, _L2DIST_EPS) / x.shape[1]
+    return jnp.sqrt(m)
+
+
+def both_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return cosine_distance(x, y) + l2_distance(x, y)
+
+
+dist_metrics = {
+    "cosine": cosine_distance,
+    "l2": l2_distance,
+    "both": both_distance,
+}
+
+
+def moment_matching(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """MAE(mean_x, mean_y) + MAE(cov_x, cov_y) with biased covariance.
+
+    For the default hypercolumn this is a C x C (~2179²) Gram build — two
+    MXU matmuls.
+    """
+    x, y = _f32(x), _f32(y)
+    xm = jnp.mean(x, axis=0, keepdims=True)
+    ym = jnp.mean(y, axis=0, keepdims=True)
+    cx = x - xm
+    cy = y - ym
+    xv = jnp.matmul(cx.T, cx, precision="highest") / x.shape[0]
+    yv = jnp.matmul(cy.T, cy, precision="highest") / y.shape[0]
+    return mae(xv, yv) + mae(xm, ym)
+
+
+def self_similarity(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """STROTSS content loss: compare column-normalized self-cosine matrices.
+
+    Called with (prediction, content-target) like the reference's
+    ``ContentLoss`` (``run_strotss.py:21-24``).
+    """
+    x, y = _f32(x), _f32(y)
+    x_dist = cosine_distance(x, x)
+    x_dist = x_dist / jnp.maximum(jnp.sum(x_dist, axis=0), _COLSUM_EPS)
+    y_dist = cosine_distance(y, y)
+    y_dist = y_dist / jnp.maximum(jnp.sum(y_dist, axis=0), _COLSUM_EPS)
+    return mae(x_dist, y_dist) * y.shape[0]
+
+
+def relaxed_emd(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    distance: str = "cosine",
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Relaxed earth mover's distance: max of the two one-sided matching costs.
+
+    ``impl='pallas'`` streams the cost matrix through VMEM tiles with online
+    row/col minima (no N x M HBM tensor); gradients flow through an exact
+    argmin-gather custom VJP. ``impl='xla'`` materializes C — optimal for the
+    default N=1024 where C is 4 MB and XLA fuses everything.
+    """
+    x, y = _f32(x), _f32(y)
+    if impl == "pallas":
+        from strotss_tpu.ops.kernels.remd import relaxed_emd_pallas
+
+        return relaxed_emd_pallas(x, y, distance=distance)
+    c = dist_metrics[distance](x, y)
+    r_x = jnp.mean(jnp.min(c, axis=1))
+    r_y = jnp.mean(jnp.min(c, axis=0))
+    return jnp.maximum(r_x, r_y)
+
+
+@partial(jax.jit, static_argnames=("distance", "n_iter"))
+def sinkhorn(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    distance: str = "cosine",
+    lam: float = 10.0,
+    n_iter: int = 30,
+) -> jnp.ndarray:
+    """Entropic-regularized full OT cost via Sinkhorn-Knopp iterations.
+
+    A working replacement for the reference's dead/buggy ``sinkhorn_knopp``
+    (``nn/losses.py:83-105``): uniform marginals, kernel ``K = exp(-λM)``,
+    alternating scaling updates, returning ``<T, M>`` with the plan
+    ``T = diag(u) K diag(v)``. Runs in the **log domain** (logsumexp
+    updates), so it stays exact for large λ where ``exp(-λM)`` underflows —
+    equivalent to the scaling form in exact arithmetic.
+    """
+    x, y = _f32(x), _f32(y)
+    m = dist_metrics[distance](x, y)
+    n, mm = m.shape
+    log_k = -lam * m
+    log_p = jnp.full((n,), -jnp.log(float(n)), dtype=m.dtype)
+    log_q = jnp.full((mm,), -jnp.log(float(mm)), dtype=m.dtype)
+    log_u = jnp.zeros((n,), dtype=m.dtype)
+    log_v = jnp.zeros((mm,), dtype=m.dtype)
+
+    def body(carry, _):
+        log_u, log_v = carry
+        log_u = log_p - jax.nn.logsumexp(log_k + log_v[None, :], axis=1)
+        log_v = log_q - jax.nn.logsumexp(log_k + log_u[:, None], axis=0)
+        return (log_u, log_v), None
+
+    (log_u, log_v), _ = jax.lax.scan(body, (log_u, log_v), None, length=n_iter)
+    log_t = log_u[:, None] + log_k + log_v[None, :]
+    return jnp.sum(jnp.exp(log_t) * m)
+
+
+def style_loss(
+    target: jnp.ndarray,
+    prediction: jnp.ndarray,
+    alpha: float,
+    use_sinkhorn: bool = False,
+    sinkhorn_lambda: float = 10.0,
+    sinkhorn_iters: int = 30,
+    remd_impl: str = "xla",
+) -> jnp.ndarray:
+    """The composite style loss of the reference's ``StyleLoss`` module.
+
+    ``moments + REMD(cosine) + (1/max(α,1)) · REMD(YUV-of-RGB, 'both')``
+    (``run_strotss.py:27-41``). ``use_sinkhorn`` swaps both transport terms
+    for full entropic OT (the high-res capability the reference stubbed out).
+    """
+    inv_alpha = 1.0 / max(alpha, 1.0)
+    l_m = moment_matching(target, prediction)
+    if use_sinkhorn:
+        l_t = sinkhorn(target, prediction, "cosine", sinkhorn_lambda, sinkhorn_iters)
+        l_p = sinkhorn(
+            rgb_to_yuv(_f32(target)), rgb_to_yuv(_f32(prediction)),
+            "both", sinkhorn_lambda, sinkhorn_iters,
+        )
+    else:
+        l_t = relaxed_emd(target, prediction, "cosine", impl=remd_impl)
+        l_p = relaxed_emd(
+            rgb_to_yuv(_f32(target)), rgb_to_yuv(_f32(prediction)),
+            "both", impl=remd_impl,
+        )
+    return l_m + l_t + inv_alpha * l_p
+
+
+def content_loss(target: jnp.ndarray, prediction: jnp.ndarray) -> jnp.ndarray:
+    """Reference ``ContentLoss``: self-similarity of (prediction, target)."""
+    return self_similarity(prediction, target)

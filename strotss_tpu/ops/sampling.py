@@ -1,0 +1,281 @@
+"""Static-shape hypercolumn feature sampling.
+
+The reference (``/root/reference/nn/strotss_utils.py:20-136``) samples 1024
+spatial locations by building a coordinate list (full meshgrid for style /
+random-offset strided grid for content+prediction), optionally filtering rows
+by a mask (data-dependent shape!), shuffling pairs, and truncating. That is
+unjittable on TPU, so the design here is different but distributionally
+equivalent:
+
+- *shuffle + truncate to k* == *uniform sample of k without replacement* ==
+  **Gumbel top-k** over uniform logits — one ``lax.top_k``, fully static.
+- mask filtering becomes ``-inf`` logits on invalid points; when a region has
+  fewer than ``sample_size`` valid points the reference silently produces a
+  smaller matrix (dynamic shape); we instead resample the shortfall *with
+  replacement* via ``jax.random.categorical``, keeping every downstream loss
+  shape static. (Distribution differs only in that degenerate case.)
+- the strided grid's random offsets make the grid *length* data-dependent in
+  the reference (``X = tf.range(h)[off::step]``); we allocate the static
+  worst case ``ceil(h/step)`` and mark out-of-range points invalid.
+
+Coordinates are sampled once per step at the base (image) resolution and
+rescaled per feature map with the same cumulative-ratio chain as the
+reference (``nn/strotss_utils.py:33-37``), computed statically from shapes.
+Content and prediction are gathered at **identical** coordinates; style is
+gathered once per scale on the full grid with nearest-neighbor lookup.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from strotss_tpu.ops.image import resize_bilinear
+
+_NEG_INF = -jnp.inf
+
+
+# --------------------------------------------------------------------------
+# static helpers
+# --------------------------------------------------------------------------
+
+def coordinate_factors(shapes: Sequence[Tuple[int, int]]) -> List[float]:
+    """Per-map multiplier taking base-resolution coords to map ``i`` coords.
+
+    Replicates the reference's cumulative in-place divides: when the height
+    drops between consecutive hypercolumn entries, coordinates are divided by
+    the consecutive ratio along a single axis chosen once — H if the current
+    height is a power of two, else W (``nn/strotss_utils.py:33-37``).
+    """
+    factors = [1.0]
+    f = 1.0
+    axis = None
+    for i in range(1, len(shapes)):
+        if shapes[i][0] < shapes[i - 1][0]:
+            if axis is None:
+                axis = 0 if (math.log2(shapes[i][0]) % 1 == 0) else 1
+            f /= shapes[i - 1][axis] / shapes[i][axis]
+        factors.append(f)
+    return factors
+
+
+def strided_grid_params(h: int, w: int) -> Tuple[int, int, int, int]:
+    """(step_x, step_y, nx, ny) for the content sampling grid.
+
+    ``area = sqrt((h*w) // 128²)``; x-step floors, y-step ceils
+    (``nn/strotss_utils.py:89-90``). ``nx/ny`` are the static worst-case
+    point counts per axis.
+    """
+    area = math.sqrt((h * w) // (128 ** 2))
+    step_x = max(1, math.floor(area))
+    step_y = max(1, math.ceil(area))
+    nx = -(-h // step_x)
+    ny = -(-w // step_y)
+    return step_x, step_y, nx, ny
+
+
+# --------------------------------------------------------------------------
+# masks
+# --------------------------------------------------------------------------
+
+def prepare_mask(mask: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resize a (H,W,1)/(1,H,W,1) mask to ``hw`` and threshold at 0.5.
+
+    Returns a float (h,w) validity map in {0,1}. Reproduces the reference's
+    all-pass escape hatch: if the resized mask's max is < 0.1 every pixel is
+    valid (``nn/strotss_utils.py:105-110``).
+    """
+    if mask.ndim == 4:
+        mask = mask[0]
+    m = resize_bilinear(mask.astype(jnp.float32), hw)[..., 0]
+    valid = (m > 0.5).astype(jnp.float32)
+    allpass = jnp.max(m) < 0.1
+    return jnp.where(allpass, jnp.ones_like(valid), valid)
+
+
+# --------------------------------------------------------------------------
+# coordinate selection
+# --------------------------------------------------------------------------
+
+def _select_k(key: jax.Array, logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Sample ``k`` indices ~ without replacement from ``exp(logits)``.
+
+    Gumbel top-k; entries that still land on ``-inf`` logits (fewer than k
+    valid points) are replaced by categorical draws with replacement from
+    the valid set.
+    """
+    p = logits.shape[0]
+    if p < k:
+        logits = jnp.pad(logits, (0, k - p), constant_values=_NEG_INF)
+        p = k
+    k_gumbel, k_rep = jax.random.split(key)
+    scores = logits + jax.random.gumbel(k_gumbel, (p,), dtype=jnp.float32)
+    _, idx = jax.lax.top_k(scores, k)
+    picked_valid = jnp.take(logits, idx) > _NEG_INF
+    replacement = jax.random.categorical(k_rep, logits, shape=(k,))
+    return jnp.where(picked_valid, idx, replacement)
+
+
+def full_grid_coords(
+    key: jax.Array,
+    hw: Tuple[int, int],
+    sample_size: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Uniformly pick ``sample_size`` pixel coords from the full (h,w) grid.
+
+    Style-sampling mode (reference ``__call__`` with
+    ``bilinear_sampling=False``: full meshgrid → mask filter → shuffle →
+    truncate).  Returns float32 (sample_size, 2) = (row, col).
+    """
+    h, w = hw
+    if mask is not None:
+        logits = jnp.where(mask.reshape(-1) > 0.5, 0.0, _NEG_INF)
+    else:
+        logits = jnp.zeros((h * w,), dtype=jnp.float32)
+    idx = _select_k(key, logits, sample_size)
+    coords = jnp.stack([idx // w, idx % w], axis=1)
+    return coords.astype(jnp.float32)
+
+
+def strided_grid_coords(
+    key: jax.Array,
+    hw: Tuple[int, int],
+    sample_size: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Pick ``sample_size`` coords from a random-offset strided grid.
+
+    Content/prediction sampling mode: integer offsets uniform in
+    [0, step) per axis, grid points ``off + i*step``, uniform choice of
+    ``sample_size`` of the in-bounds (and in-mask) points
+    (``nn/strotss_utils.py:88-120``).
+    """
+    h, w = hw
+    step_x, step_y, nx, ny = strided_grid_params(h, w)
+    k_off, k_sel = jax.random.split(key)
+    off = jax.random.randint(k_off, (2,), 0, jnp.asarray([step_x, step_y]))
+    xs = off[0] + jnp.arange(nx, dtype=jnp.int32) * step_x
+    ys = off[1] + jnp.arange(ny, dtype=jnp.int32) * step_y
+    gx = jnp.repeat(xs, ny)
+    gy = jnp.tile(ys, nx)
+    inb = (gx < h) & (gy < w)
+    valid = inb
+    if mask is not None:
+        mval = mask[jnp.clip(gx, 0, h - 1), jnp.clip(gy, 0, w - 1)]
+        valid = valid & (mval > 0.5)
+    logits = jnp.where(valid, 0.0, _NEG_INF)
+    idx = _select_k(k_sel, logits, sample_size)
+    coords = jnp.stack([jnp.take(gx, idx), jnp.take(gy, idx)], axis=1)
+    return coords.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# gathers
+# --------------------------------------------------------------------------
+
+def _squeeze_map(fmap: jnp.ndarray) -> jnp.ndarray:
+    return fmap[0] if fmap.ndim == 4 else fmap
+
+
+def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """4-tap bilinear lookup of (n,2) float coords on an (h,w,c) map.
+
+    Border handling matches the reference (``nn/strotss_utils.py:43-70``):
+    floor/floor+1 corner indices clipped independently to the valid range.
+    """
+    fmap = _squeeze_map(fmap)
+    h, w, c = fmap.shape
+    gx, gy = coords[:, 0], coords[:, 1]
+    gxf = jnp.floor(gx)
+    gyf = jnp.floor(gy)
+    dx = (gx - gxf)[:, None]
+    dy = (gy - gyf)[:, None]
+
+    x0 = jnp.clip(gxf, 0, h - 1).astype(jnp.int32)
+    y0 = jnp.clip(gyf, 0, w - 1).astype(jnp.int32)
+    x1 = jnp.clip(gxf + 1, 0, h - 1).astype(jnp.int32)
+    y1 = jnp.clip(gyf + 1, 0, w - 1).astype(jnp.int32)
+
+    flat = fmap.reshape(h * w, c)
+    va = jnp.take(flat, x0 * w + y0, axis=0)
+    vb = jnp.take(flat, x0 * w + y1, axis=0)
+    vc = jnp.take(flat, x1 * w + y0, axis=0)
+    vd = jnp.take(flat, x1 * w + y1, axis=0)
+    dxf = dx.astype(flat.dtype)
+    dyf = dy.astype(flat.dtype)
+    return (
+        va * (1 - dxf) * (1 - dyf)
+        + vb * (1 - dxf) * dyf
+        + vc * dxf * (1 - dyf)
+        + vd * dxf * dyf
+    )
+
+
+def nearest_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Truncating nearest lookup (clip float coords, cast to int32)."""
+    fmap = _squeeze_map(fmap)
+    h, w, c = fmap.shape
+    gx = jnp.clip(coords[:, 0], 0, h - 1).astype(jnp.int32)
+    gy = jnp.clip(coords[:, 1], 0, w - 1).astype(jnp.int32)
+    return jnp.take(fmap.reshape(h * w, c), gx * w + gy, axis=0)
+
+
+def sample_hypercolumn(
+    feats: Sequence[jnp.ndarray],
+    coords: jnp.ndarray,
+    bilinear: bool = True,
+) -> jnp.ndarray:
+    """Gather every feature map at (rescaled) ``coords``; concat channels.
+
+    Returns float32 (n, total_channels) — the hypercolumn matrix that all
+    losses consume (2179 channels for the default VGG16 tap set + image).
+    """
+    shapes = [( _squeeze_map(f).shape[0], _squeeze_map(f).shape[1]) for f in feats]
+    factors = coordinate_factors(shapes)
+    parts = []
+    for fmap, fac in zip(feats, factors):
+        c = coords * fac if fac != 1.0 else coords
+        g = bilinear_gather(fmap, c) if bilinear else nearest_gather(fmap, c)
+        parts.append(g.astype(jnp.float32))
+    return jnp.concatenate(parts, axis=1)
+
+
+# --------------------------------------------------------------------------
+# high-level entry points (mirror Sampling.__call__ / .bilinear)
+# --------------------------------------------------------------------------
+
+def sample_style(
+    key: jax.Array,
+    feats: Sequence[jnp.ndarray],
+    sample_size: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Style-target sampling: full grid, nearest gather. Once per scale."""
+    base = _squeeze_map(feats[0])
+    coords = full_grid_coords(key, base.shape[:2], sample_size, mask)
+    return sample_hypercolumn(feats, coords, bilinear=False)
+
+
+def sample_paired(
+    key: jax.Array,
+    xs: Sequence[jnp.ndarray],
+    ys: Sequence[jnp.ndarray],
+    sample_size: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Content/prediction sampling at shared coords: strided grid, bilinear.
+
+    Every optimization step draws a fresh grid offset and subset (the
+    reference's stateful RNG ops re-execute inside ``tf.function``;
+    here the key is threaded through the scan).
+    """
+    base = _squeeze_map(xs[0])
+    coords = strided_grid_coords(key, base.shape[:2], sample_size, mask)
+    return (
+        sample_hypercolumn(xs, coords, bilinear=True),
+        sample_hypercolumn(ys, coords, bilinear=True),
+    )

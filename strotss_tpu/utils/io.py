@@ -1,0 +1,74 @@
+"""Host-side image I/O (PIL + numpy), feeding jnp arrays to the device path.
+
+Parity targets: reference ``load_image``/``write_image``
+(``/root/reference/nn/utils.py:44-70``): decode to 3-channel RGB, convert to
+float [0,1], optional aspect-preserving max-size resize, optional batch dim;
+JPEG written at quality 100; a write asserts batch==1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from strotss_tpu.ops.image import resize_max
+from strotss_tpu.utils.logging import logger
+
+
+def load_image(
+    path: str,
+    max_size: Optional[int] = None,
+    dtype=jnp.float32,
+    batch_expand: bool = True,
+) -> jnp.ndarray:
+    """Load an image file as (1,H,W,3) float [0,1] (or uint8 when asked).
+
+    The resize happens in float on device via ``resize_bilinear``, matching
+    the reference order decode → float convert → resize
+    (``nn/utils.py:50-53``).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"File not found: {path}")
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+    img = jnp.asarray(arr)
+    if dtype != jnp.uint8:
+        img = img.astype(dtype) / 255.0
+        img = resize_max(img, max_size)
+    else:
+        # uint8 path (mask loading) keeps raw pixel values; the reference
+        # resizes uint8 masks too (tf.image.resize on uint8 returns float) —
+        # we resize in float and round back.
+        if max_size is not None:
+            f = img.astype(jnp.float32)
+            f = resize_max(f, max_size)
+            img = jnp.clip(jnp.round(f), 0, 255).astype(jnp.uint8)
+    if batch_expand:
+        img = img[jnp.newaxis]
+    return img
+
+
+def write_image(image, path: str) -> None:
+    """Write an HWC or 1HWC uint8 (or float [0,1]) image as JPEG/PNG."""
+    arr = np.asarray(image)
+    if arr.ndim == 4:
+        if arr.shape[0] != 1:
+            raise ValueError(f"Batch size must be 1. Got {arr.shape[0]}")
+        arr = arr[0]
+    if arr.ndim != 3:
+        raise ValueError(f"Invalid rank: {arr.ndim}")
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    from PIL import Image
+
+    im = Image.fromarray(arr)
+    if path.lower().endswith((".jpg", ".jpeg")):
+        im.save(path, quality=100)
+    else:
+        im.save(path)
+    logger.info(f"Wrote image to {path}")

@@ -1,0 +1,36 @@
+"""Logging with the same surface as the reference.
+
+Parity with ``/root/reference/nn/utils.py:9-19``: a module-global ``logger``
+configured by ``make_logger(name)``, stdout handler, the same format string,
+level INFO. Unlike the reference (which *rebinds* a module global, so
+modules imported before ``make_logger`` keep logging through an unconfigured
+logger), every module here shares one named logger object and
+``make_logger`` configures it in place.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+_NAME = "STROTSS"
+
+logger = logging.getLogger(_NAME)
+
+
+def make_logger(name: str = _NAME) -> logging.Logger:
+    """Attach the stdout handler + format to the shared logger."""
+    global logger
+    if name != _NAME:
+        logger = logging.getLogger(name)
+    if not logger.handlers:
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(
+            logging.Formatter(
+                "%(asctime)s [%(levelname)s] %(name)s: %(message)s",
+                "%Y-%m-%d %H:%M:%S",
+            )
+        )
+        logger.addHandler(sh)
+    logger.setLevel(logging.INFO)
+    return logger

@@ -1,0 +1,66 @@
+"""CLI surface parity + a tiny end-to-end run through main()."""
+
+import os
+
+import numpy as np
+import pytest
+
+from strotss_tpu.cli import build_parser
+
+
+def test_parser_defaults():
+    args = build_parser().parse_args(["c.jpg", "s.jpg"])
+    assert args.content_path == "c.jpg" and args.style_path == "s.jpg"
+    assert args.content_mask is None and args.style_mask is None
+    assert args.max_size is None
+    assert args.lr == 2e-3
+    assert args.level == 4 and isinstance(args.level, int)  # ref bug fixed
+    assert args.max_iter == 200
+    assert args.alpha == 1.0
+    assert args.use_keras_weight is False
+    assert args.device_id == 0
+    assert args.output_path == "output.jpg"
+
+
+def test_parser_level_int():
+    # the reference declared --level type=float and crashed on range();
+    # passing it explicitly must work here
+    args = build_parser().parse_args(["c.jpg", "s.jpg", "--level", "2"])
+    assert args.level == 2
+
+
+def test_mask_xor_rejected(tmp_path, rng):
+    from PIL import Image
+
+    from strotss_tpu.cli import main
+
+    img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+    cp = str(tmp_path / "c.png")
+    Image.fromarray(img).save(cp)
+    with pytest.raises(ValueError, match="both content and style masks"):
+        main([cp, cp, "--content_mask", cp])
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path, rng):
+    from PIL import Image
+
+    from strotss_tpu.cli import main
+
+    c = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    s = (rng.random((44, 36, 3)) * 255).astype(np.uint8)
+    cp, sp = str(tmp_path / "c.png"), str(tmp_path / "s.png")
+    op = str(tmp_path / "out.jpg")
+    Image.fromarray(c).save(cp)
+    Image.fromarray(s).save(sp)
+
+    rc = main([
+        cp, sp, "-o", op,
+        "--level", "1", "--max_iter", "2", "--log_every", "2",
+        "--compute_dtype", "float32", "--no_pallas",
+        "--taps", "block1_conv1",
+    ])
+    assert rc == 0
+    assert os.path.exists(op)
+    out = np.asarray(Image.open(op))
+    assert out.ndim == 3 and out.shape[2] == 3

@@ -1,0 +1,127 @@
+"""Static-shape sampler: distribution, mask, and gather correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from strotss_tpu.ops import sampling as S
+
+
+def test_coordinate_factors_vgg_chain():
+    # VGG hypercolumn at 64x64: image + maps at strides 1,1,2,2,4,4,4,8,16
+    shapes = [(64, 64), (64, 64), (64, 64), (32, 32), (32, 32),
+              (16, 16), (16, 16), (16, 16), (8, 8), (4, 4)]
+    f = S.coordinate_factors(shapes)
+    assert f == [1.0, 1.0, 1.0, 0.5, 0.5, 0.25, 0.25, 0.25, 0.125, 0.0625]
+
+
+def test_coordinate_factors_non_pow2():
+    # H=42 not a power of two -> rescale axis switches to W (axis 1)
+    shapes = [(42, 64), (21, 32)]
+    f = S.coordinate_factors(shapes)
+    assert f == [1.0, 0.5]
+
+
+def test_strided_grid_params():
+    # 512x341: area = sqrt((512*341)//16384) = sqrt(10) -> steps (3, 4)
+    sx, sy, nx, ny = S.strided_grid_params(512, 341)
+    assert (sx, sy) == (3, 4)
+    assert nx == -(-512 // 3) and ny == -(-341 // 4)
+    # small image -> steps 1
+    assert S.strided_grid_params(64, 42)[:2] == (1, 1)
+
+
+def test_full_grid_unmasked_no_replacement():
+    key = jax.random.PRNGKey(0)
+    coords = S.full_grid_coords(key, (16, 20), 64)
+    assert coords.shape == (64, 2) and coords.dtype == jnp.float32
+    c = np.asarray(coords).astype(int)
+    assert (c[:, 0] >= 0).all() and (c[:, 0] < 16).all()
+    assert (c[:, 1] >= 0).all() and (c[:, 1] < 20).all()
+    flat = c[:, 0] * 20 + c[:, 1]
+    assert len(np.unique(flat)) == 64  # without replacement
+
+
+def test_full_grid_masked_inside_region():
+    mask = np.zeros((16, 20), np.float32)
+    mask[4:12, 5:15] = 1.0  # 80 valid pixels
+    coords = S.full_grid_coords(jax.random.PRNGKey(1), (16, 20), 64,
+                                jnp.asarray(mask))
+    c = np.asarray(coords).astype(int)
+    assert mask[c[:, 0], c[:, 1]].all()
+
+
+def test_full_grid_small_region_replacement():
+    mask = np.zeros((16, 20), np.float32)
+    mask[0:2, 0:3] = 1.0  # 6 valid pixels < 64 samples
+    coords = S.full_grid_coords(jax.random.PRNGKey(2), (16, 20), 64,
+                                jnp.asarray(mask))
+    c = np.asarray(coords).astype(int)
+    assert c.shape == (64, 2)
+    assert mask[c[:, 0], c[:, 1]].all()  # all inside, with replacement
+
+
+def test_strided_grid_coords_on_grid():
+    h, w = 256, 384  # area=sqrt(6) -> steps (2,3)
+    sx, sy, _, _ = S.strided_grid_params(h, w)
+    coords = S.strided_grid_coords(jax.random.PRNGKey(3), (h, w), 128)
+    c = np.asarray(coords).astype(int)
+    assert c.shape == (128, 2)
+    assert (c[:, 0] % sx == c[0, 0] % sx).all()  # shared x offset
+    assert (c[:, 1] % sy == c[0, 1] % sy).all()
+    assert (c[:, 0] < h).all() and (c[:, 1] < w).all()
+
+
+def test_bilinear_gather_exact_at_integers(rng):
+    fmap = jnp.asarray(rng.random((7, 9, 4)), jnp.float32)
+    coords = jnp.asarray([[2.0, 3.0], [0.0, 0.0], [6.0, 8.0]])
+    out = np.asarray(S.bilinear_gather(fmap, coords))
+    f = np.asarray(fmap)
+    np.testing.assert_allclose(out[0], f[2, 3], atol=1e-6)
+    np.testing.assert_allclose(out[1], f[0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[2], f[6, 8], atol=1e-6)
+
+
+def test_bilinear_gather_midpoint(rng):
+    fmap = jnp.asarray(rng.random((5, 5, 2)), jnp.float32)
+    out = np.asarray(S.bilinear_gather(fmap, jnp.asarray([[1.5, 2.5]])))
+    f = np.asarray(fmap)
+    expect = 0.25 * (f[1, 2] + f[1, 3] + f[2, 2] + f[2, 3])
+    np.testing.assert_allclose(out[0], expect, atol=1e-6)
+
+
+def test_nearest_gather_truncates(rng):
+    fmap = jnp.asarray(rng.random((5, 6, 3)), jnp.float32)
+    out = np.asarray(S.nearest_gather(fmap, jnp.asarray([[1.9, 2.7], [9.0, -1.0]])))
+    f = np.asarray(fmap)
+    np.testing.assert_allclose(out[0], f[1, 2], atol=1e-6)  # trunc, not round
+    np.testing.assert_allclose(out[1], f[4, 0], atol=1e-6)  # clipped
+
+
+def test_sample_hypercolumn_shapes(rng):
+    feats = [
+        jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32),
+        jnp.asarray(rng.random((1, 16, 16, 5)), jnp.float32),
+        jnp.asarray(rng.random((1, 8, 8, 7)), jnp.float32),
+    ]
+    coords = S.full_grid_coords(jax.random.PRNGKey(0), (16, 16), 32)
+    out = S.sample_hypercolumn(feats, coords, bilinear=True)
+    assert out.shape == (32, 15) and out.dtype == jnp.float32
+
+
+def test_sample_paired_shared_coords(rng):
+    xs = [jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)]
+    key = jax.random.PRNGKey(5)
+    a, b = S.sample_paired(key, xs, xs, 32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_prepare_mask_allpass():
+    from strotss_tpu.ops.sampling import prepare_mask
+
+    m = jnp.zeros((20, 20, 1), jnp.float32)  # empty mask -> all-pass rule
+    out = np.asarray(prepare_mask(m, (10, 10)))
+    assert (out == 1.0).all()
+    m2 = jnp.zeros((20, 20, 1), jnp.float32).at[:10].set(1.0)
+    out2 = np.asarray(prepare_mask(m2, (10, 10)))
+    assert out2[:4].all() and not out2[6:].any()

@@ -1,0 +1,79 @@
+"""Optimizer parity (Keras RMSprop) + a tiny end-to-end solve."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from strotss_tpu.config import StrotssConfig
+from strotss_tpu.models.weights import random_params
+from strotss_tpu.solve import make_optimizer, stylize_single
+
+
+def test_rmsprop_matches_keras_golden(golden):
+    g = golden("rmsprop")
+    opt = make_optimizer(2e-3)
+    var = jnp.asarray(g["init"])
+    state = opt.init(var)
+    for i, grad in enumerate(g["grads"]):
+        updates, state = opt.update(jnp.asarray(grad), state)
+        var = optax.apply_updates(var, updates)
+        np.testing.assert_allclose(
+            np.asarray(var), g["traj"][i], atol=1e-6,
+            err_msg=f"diverged from Keras RMSprop at step {i}",
+        )
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        levels=1,
+        max_iter=4,
+        log_every=2,
+        sample_size=64,
+        compute_dtype="float32",
+        use_pallas=False,
+        taps=("block1_conv1",),
+    )
+    base.update(kw)
+    return StrotssConfig(**base)
+
+
+def test_stylize_single_tiny(rng):
+    content = jnp.asarray(rng.random((1, 40, 48, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 44, 36, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = _tiny_cfg()
+    img, info = stylize_single(content, style, cfg, params)
+    # output spatial dims follow resize_max(content, 64)
+    assert img.dtype == jnp.uint8 and img.ndim == 3
+    assert np.isfinite(info["scales"][0]["loss"])
+
+
+def test_stylize_deterministic(rng):
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = _tiny_cfg(max_iter=2)
+    img1, i1 = stylize_single(content, style, cfg, params)
+    img2, i2 = stylize_single(content, style, cfg, params)
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+    assert i1["scales"][0]["loss"] == i2["scales"][0]["loss"]
+
+
+def test_stylize_masked_tiny(rng):
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    cmask = np.zeros((2, 40, 40, 1), np.float32)
+    cmask[0, :20] = 1.0
+    cmask[1, 20:] = 1.0
+    smask = np.zeros((2, 40, 40, 1), np.float32)
+    smask[0, :, :20] = 1.0
+    smask[1, :, 20:] = 1.0
+    params = random_params("16", 0)
+    cfg = _tiny_cfg(max_iter=2, sample_size=32)
+    img, info = stylize_single(
+        content, style, cfg, params,
+        content_masks=jnp.asarray(cmask), style_masks=jnp.asarray(smask),
+    )
+    assert img.dtype == jnp.uint8
+    assert np.isfinite(info["scales"][0]["loss"])
