@@ -21,6 +21,7 @@ def stylize(
     vgg_params=None,
     key: Optional[jax.Array] = None,
     progress_cb=None,
+    snapshot_cb=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Stylize ``content`` with ``style`` (both (1,H,W,3) float in [0,1]).
 
@@ -39,4 +40,5 @@ def stylize(
         style_masks=style_masks,
         key=key,
         progress_cb=progress_cb,
+        snapshot_cb=snapshot_cb,
     )

@@ -12,6 +12,7 @@ an alias. TPU-specific additions: ``--compute_dtype``, ``--seed``,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from strotss_tpu.config import StrotssConfig
@@ -49,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="full entropic OT instead of relaxed EMD")
     parser.add_argument("--profile_dir", type=str, default=None)
     parser.add_argument("--save_every", type=int, default=0)
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="chunk-boundary checkpoints; resumes if present")
     parser.add_argument("--taps", type=str, default=None,
                         help="comma-separated VGG tap layers "
                              "(default: the 9 STROTSS taps)")
@@ -60,13 +63,34 @@ def set_device(index: int = 0) -> None:
     (``nn/utils.py:73-85``): logs and falls back to CPU when none found."""
     import jax
 
-    devices = [d for d in jax.devices() if d.platform != "cpu"]
+    try:
+        devices = [d for d in jax.devices() if d.platform != "cpu"]
+    except RuntimeError as e:
+        # a forced platform (JAX_PLATFORMS) that failed to initialize —
+        # fall back to automatic backend selection rather than dying
+        logger.warning(f"Backend init failed ({e}); auto-selecting backend.")
+        jax.config.update("jax_platforms", "")
+        devices = [d for d in jax.devices() if d.platform != "cpu"]
     if devices:
         if index >= len(devices):
             raise ValueError(f"Invalid device ID: {index}")
         jax.config.update("jax_default_device", devices[index])
     else:
         logger.info("Accelerator not found. Using CPU.")
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache: repeat runs skip the one-time jit cost."""
+    import jax
+
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "strotss_tpu", "jaxcache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
 
 
 def main(argv=None) -> int:
@@ -76,6 +100,8 @@ def main(argv=None) -> int:
     timer.start()
 
     import jax
+
+    enable_compile_cache()
 
     from strotss_tpu.api import stylize
     from strotss_tpu.ops.masks import load_mask
@@ -97,6 +123,7 @@ def main(argv=None) -> int:
         use_sinkhorn=args.sinkhorn,
         profile_dir=args.profile_dir,
         save_every=args.save_every,
+        checkpoint_dir=args.checkpoint_dir,
         taps=tuple(args.taps.split(",")) if args.taps else None,
     )
 
@@ -138,6 +165,13 @@ def main(argv=None) -> int:
                 + " ".join(f"{k}={v:.3f}" for k, v in metrics.items())
             )
 
+    snapshot = None
+    if cfg.save_every > 0:
+        stem, ext = os.path.splitext(args.output_path)
+
+        def snapshot(scl, it, img):
+            write_image(img, f"{stem}_scale{scl}_it{it:04d}{ext or '.jpg'}")
+
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
 
@@ -148,6 +182,7 @@ def main(argv=None) -> int:
         content_masks=content_masks,
         style_masks=style_masks,
         progress_cb=progress,
+        snapshot_cb=snapshot,
     )
 
     if cfg.profile_dir:

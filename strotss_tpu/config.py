@@ -59,6 +59,9 @@ class StrotssConfig:
     profile_dir: Optional[str] = None
     #: dump intermediate stylized images every N steps (0 = off).
     save_every: int = 0
+    #: directory for chunk-boundary checkpoints; an existing state there
+    #: resumes the run bit-exactly (new capability; reference has none).
+    checkpoint_dir: Optional[str] = None
     #: use Sinkhorn-iterated full OT instead of REMD for the style loss.
     use_sinkhorn: bool = False
     sinkhorn_lambda: float = 10.0

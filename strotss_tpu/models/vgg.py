@@ -88,8 +88,10 @@ def preprocess(x: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
 
 
 def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    # float32 inputs get true-f32 accumulation (XLA:CPU otherwise drops to
-    # bf16 fast paths); bf16 inputs ride the MXU at full speed.
+    # float32 inputs get true-f32 math (XLA:CPU otherwise drops to bf16
+    # fast paths); bf16 inputs ride the MXU bf16-in/bf16-out — the MXU
+    # accumulates in f32 internally, and asking for an f32 output here
+    # breaks the conv transpose rule (f32 cotangent vs bf16 kernel).
     precision = (
         jax.lax.Precision.HIGHEST
         if x.dtype == jnp.float32
@@ -102,18 +104,19 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
     )
-    y = y + bias.astype(jnp.float32)
-    y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype)
+    y = y + bias.astype(y.dtype)
+    return jnp.maximum(y, 0.0)
 
 
 def _maxpool(x: jnp.ndarray) -> jnp.ndarray:
     # Keras MaxPooling2D: 2x2 window, stride 2, VALID padding.
+    # init value must be the plain -inf scalar: lax only recognizes the
+    # max-monoid (and thus registers the differentiable reduce_window_max
+    # primitive) for the literal identity element, not a materialized array.
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),

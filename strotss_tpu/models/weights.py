@@ -110,13 +110,18 @@ def params_from_keras_model(model, vgg_type: str) -> Params:
 
 
 def random_params(vgg_type: str = "16", seed: int = 0) -> Params:
-    """Deterministic He-normal init — offline fallback."""
+    """Deterministic He-normal init — offline fallback.
+
+    Per-layer keys fold in the layer *index* (never ``hash(str)``: Python
+    string hashing is salted per process, which silently breaks
+    cross-process reproducibility).
+    """
     params: Params = {}
     cin = 3
     key = jax.random.PRNGKey(seed)
-    for name in vgg_layer_names(vgg_type):
+    for idx, name in enumerate(vgg_layer_names(vgg_type)):
         cout = vgg_layer_channels(vgg_type)[name]
-        kkey = jax.random.fold_in(key, hash(name) % (2 ** 31))
+        kkey = jax.random.fold_in(key, idx)
         fan_in = 3 * 3 * cin
         std = float(np.sqrt(2.0 / fan_in))
         params[name] = {
@@ -158,6 +163,12 @@ def load_vgg_params(vgg_type: str = "16", use_keras_weight: bool = False) -> Par
     cache = _cache_path(vgg_type, use_keras_weight)
     if os.path.exists(cache):
         return _load_npz(cache, vgg_type)
+    if os.path.exists(cache + ".random.npz"):
+        logger.warning(
+            "Using cached RANDOM-init VGG weights (no pretrained weights "
+            "available offline)."
+        )
+        return _load_npz(cache + ".random.npz", vgg_type)
 
     keras_home = os.path.join(os.path.expanduser("~"), ".keras")
     candidates = []

@@ -190,7 +190,8 @@ def style_loss(
     (``run_strotss.py:27-41``). ``use_sinkhorn`` swaps both transport terms
     for full entropic OT (the high-res capability the reference stubbed out).
     """
-    inv_alpha = 1.0 / max(alpha, 1.0)
+    # alpha may be a traced scalar (the per-scale schedule is dynamic)
+    inv_alpha = 1.0 / jnp.maximum(alpha, 1.0)
     l_m = moment_matching(target, prediction)
     if use_sinkhorn:
         l_t = sinkhorn(target, prediction, "cosine", sinkhorn_lambda, sinkhorn_iters)

@@ -5,9 +5,11 @@ adds/asserts the singleton batch dim). Stylizations are independent, so the
 TPU-native scaling story is: stack B pairs, vmap the per-scale train step
 over the pair axis, and shard that axis over the mesh's ``data`` axis —
 XLA then runs B independent VGG/loss pipelines with zero per-step
-communication (gradients are per-pair; there is no cross-pair reduction).
+communication (losses are per-pair; no cross-pair reduction exists).
 
-All images in a batch share one shape bucket (pad/resize on the host first).
+All images in a batch share one shape bucket (pad/resize on the host
+first). The chunk runner is one module-level jit (static spec + mesh), so
+repeated batches of the same bucket reuse the compile cache.
 """
 
 from __future__ import annotations
@@ -23,18 +25,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from strotss_tpu.config import StrotssConfig
 from strotss_tpu.models.weights import load_vgg_params
-from strotss_tpu.ops.image import (
-    fold_laplacian_pyramid,
-    make_laplacian,
-    make_laplacian_pyramid,
-    postprocess,
-    resize_bilinear,
-    resize_like,
-    resize_max,
-)
+from strotss_tpu.ops.image import fold_laplacian_pyramid, postprocess
 from strotss_tpu.ops.losses import content_loss, style_loss
 from strotss_tpu.ops.sampling import sample_paired, sample_style
-from strotss_tpu.solve import _extract_fn, make_optimizer
+from strotss_tpu.solve import (
+    StepSpec,
+    _scale_init_j,
+    extract_hypercolumn,
+    make_optimizer,
+    chunk_plan,
+    init_opt_state,
+    resize_max_hw,
+    spec_from_config,
+)
 
 
 def _constrain(tree, mesh: Optional[Mesh], spec: P):
@@ -46,69 +49,77 @@ def _constrain(tree, mesh: Optional[Mesh], spec: P):
     )
 
 
-def build_batch_scale_runner(
+@partial(jax.jit, static_argnames=("spec",))
+def _style_targets_batch_j(spec: StepSpec, key, style_feats):
+    batch = style_feats[0].shape[0]
+    return jax.vmap(
+        lambda f, k: sample_style(k, f, spec.sample_size)
+    )(style_feats, jax.random.split(key, batch))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "n_steps", "mesh"),
+    donate_argnames=("pyramid", "opt_state", "key"),
+)
+def run_chunk_batch(
+    spec: StepSpec,
+    n_steps: int,
+    mesh: Optional[Mesh],
     vgg_params,
-    cfg: StrotssConfig,
-    content_feats,  # list of (B, h, w, c)
-    style_targets: jnp.ndarray,  # (B, n, C)
-    alpha: float,
-    lr: float,
-    mesh: Optional[Mesh] = None,
+    content_feats,
+    style_targets,
+    pyramid,
+    opt_state,
+    key,
+    alpha,
+    lr,
 ):
-    """Jitted chunk runner for one scale of a B-pair batch.
-
-    Loss per pair is the same as the single path; the batch loss is the
-    mean (grads are per-pair since pairs don't interact).
-    """
-    extract = _extract_fn(vgg_params, cfg)
+    """``n_steps`` steps of the batched optimization as one on-device scan."""
     opt = make_optimizer(lr)
-    denom = 2.0 + alpha + 1.0 / max(alpha, 1.0)
     batch = style_targets.shape[0]
+    denom = 2.0 + alpha + 1.0 / jnp.maximum(alpha, 1.0)
 
-    def per_pair(cfeats, pfeats, target, key):
-        c_feat, p_feat = sample_paired(key, cfeats, pfeats, cfg.sample_size)
+    def per_pair(cf, pf, target, k):
+        c_feat, p_feat = sample_paired(k, cf, pf, spec.sample_size)
         lc = content_loss(c_feat, p_feat)
         ls = style_loss(
             target,
             p_feat,
             alpha,
-            use_sinkhorn=cfg.use_sinkhorn,
-            sinkhorn_lambda=cfg.sinkhorn_lambda,
-            sinkhorn_iters=cfg.sinkhorn_iters,
-            remd_impl="xla",
+            use_sinkhorn=spec.use_sinkhorn,
+            sinkhorn_lambda=spec.sinkhorn_lambda,
+            sinkhorn_iters=spec.sinkhorn_iters,
+            remd_impl="xla",  # vmapped: XLA impl composes with batching
         )
         return lc, ls
 
-    def loss_fn(pyramid, key):
-        img = fold_laplacian_pyramid(pyramid)
+    def loss_fn(pyr, k):
+        img = fold_laplacian_pyramid(pyr)
         img = _constrain(img, mesh, P("data"))
-        pred = extract(img)
-        keys = jax.random.split(key, batch)
+        pred = extract_hypercolumn(spec, vgg_params, img)
+        keys = jax.random.split(k, batch)
         lcs, lss = jax.vmap(per_pair, in_axes=(0, 0, 0, 0))(
             content_feats, pred, style_targets, keys
         )
-        per_pair_loss = (alpha * lcs + lss) / denom
-        return jnp.mean(per_pair_loss), (jnp.mean(lcs), jnp.mean(lss))
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        loss = jnp.mean((alpha * lcs + lss) / denom)
+        return loss, (jnp.mean(lcs), jnp.mean(lss))
 
     def step(carry, _):
-        pyramid, opt_state, key = carry
-        key, k_step = jax.random.split(key)
-        (loss, (lc, ls)), grads = grad_fn(pyramid, k_step)
-        updates, opt_state = opt.update(grads, opt_state)
-        pyramid = optax.apply_updates(pyramid, updates)
-        pyramid = _constrain(pyramid, mesh, P("data"))
-        return (pyramid, opt_state, key), jnp.stack([loss, lc, ls])
+        pyr, ostate, k = carry
+        k, k_step = jax.random.split(k)
+        (loss, (lc, ls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(pyr, k_step)
+        updates, ostate = opt.update(grads, ostate)
+        pyr = optax.apply_updates(pyr, updates)
+        pyr = _constrain(pyr, mesh, P("data"))
+        return (pyr, ostate, k), jnp.stack([loss, lc, ls])
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(pyramid, opt_state, key, n_steps: int):
-        (pyramid, opt_state, key), metrics = jax.lax.scan(
-            step, (pyramid, opt_state, key), None, length=n_steps
-        )
-        return pyramid, opt_state, key, metrics
-
-    return run_chunk, opt
+    (pyramid, opt_state, key), metrics = jax.lax.scan(
+        step, (pyramid, opt_state, key), None, length=n_steps
+    )
+    return pyramid, opt_state, key, metrics
 
 
 def stylize_batch(
@@ -131,60 +142,55 @@ def stylize_batch(
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    batch = contents.shape[0]
-
-    extract = jax.jit(_extract_fn(vgg_params, cfg))
-    data_sharding = (
-        NamedSharding(mesh, P("data")) if mesh is not None else None
-    )
+    spec = spec_from_config(cfg)
 
     def shard(x):
-        return jax.device_put(x, data_sharding) if data_sharding is not None else x
+        if mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    contents = shard(contents)
+    styles = shard(styles)
 
     alpha = cfg.initial_alpha()
     stylized = None
-    info: Dict = {"scales": [], "batch": batch}
+    info: Dict = {"scales": [], "batch": int(contents.shape[0])}
     t_total = time.perf_counter()
 
     for i, scl in enumerate(cfg.scale_sizes()):
         t_scale = time.perf_counter()
         key, k_style, k_run = jax.random.split(jax.random.fold_in(key, i), 3)
 
-        scl_content = shard(resize_max(contents, scl))
-        scl_style = shard(resize_max(styles, scl))
-        laplacian = make_laplacian(scl_content)
-
-        if i == 0:
-            stylized = laplacian + jnp.mean(scl_style, axis=(1, 2), keepdims=True)
-        elif i < cfg.levels - 1:
-            stylized = resize_like(stylized, scl_content) + laplacian
-        else:
-            stylized = resize_like(stylized, scl_content)
+        chw = resize_max_hw(contents.shape[1], contents.shape[2], scl)
+        shw = resize_max_hw(styles.shape[1], styles.shape[2], scl)
+        mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
+        scl_content, scl_style, pyramid = _scale_init_j(
+            mode, chw, shw, cfg.pyramid_levels, contents, styles,
+            stylized if stylized is not None else contents,
+        )
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
 
-        pyramid = make_laplacian_pyramid(stylized, cfg.pyramid_levels)
-        content_feats = extract(scl_content)
-        style_feats = extract(scl_style)
+        from strotss_tpu.solve import _extract_j
 
-        style_targets = jax.vmap(
-            lambda feats, k: sample_style(k, feats, cfg.sample_size)
-        )(style_feats, jax.random.split(k_style, batch))
+        content_feats = _extract_j(spec, vgg_params, scl_content)
+        style_feats = _extract_j(spec, vgg_params, scl_style)
+        style_targets = _style_targets_batch_j(spec, k_style, style_feats)
 
-        run_chunk, opt = build_batch_scale_runner(
-            vgg_params, cfg, content_feats, style_targets, alpha, lr, mesh
-        )
-        opt_state = opt.init(pyramid)
+        opt_state = init_opt_state(lr, pyramid)
+        alpha_t = jnp.asarray(alpha, jnp.float32)
+        lr_t = jnp.asarray(lr, jnp.float32)
 
         done = 0
-        last = {}
-        while done < cfg.max_iter:
-            n = min(cfg.log_every, cfg.max_iter - done)
-            pyramid, opt_state, k_run, metrics = run_chunk(
-                pyramid, opt_state, k_run, n
+        last: Dict[str, float] = {}
+        for n in chunk_plan(cfg.max_iter, cfg.log_every):
+            pyramid, opt_state, k_run, metrics = run_chunk_batch(
+                spec, n, mesh, vgg_params, content_feats, style_targets,
+                pyramid, opt_state, k_run, alpha_t, lr_t,
             )
             done += n
             m = jax.device_get(metrics[-1])
-            last = {"loss": float(m[0]), "loss_c": float(m[1]), "loss_s": float(m[2])}
+            last = {"loss": float(m[0]), "loss_c": float(m[1]),
+                    "loss_s": float(m[2])}
             if progress_cb is not None:
                 progress_cb(scl, done, cfg.max_iter, last)
 
@@ -195,6 +201,6 @@ def stylize_batch(
         )
         alpha /= 2.0
 
-    final = jax.vmap(lambda im: postprocess(im[None]))(stylized)
+    final = jax.jit(jax.vmap(lambda im: postprocess(im[None])))(stylized)
     info["seconds"] = time.perf_counter() - t_total
     return final, info

@@ -8,12 +8,16 @@ grads; ``opt.apply_gradients`` runs eagerly, ``run_strotss.py:147-148``).
 
 Here the whole inner loop is a ``lax.scan`` whose body is
 ``sample → VGG forward → losses → grad → RMSprop update`` — zero host
-crossings inside a scale except chunk-boundary metric reads. One jit trace
-per scale (shapes change), like the reference's four retraces.
+crossings inside a scale. The chunk runner is a single **module-level** jit
+with every changing value (features, style targets, masks, α, lr) passed as
+arguments and all configuration in a hashable static spec: repeated
+stylizations (benchmark loops, batched serving) reuse the compile cache —
+only genuinely new image shapes trigger a trace. α and lr are traced
+scalars, so the per-scale α-halving / lr schedule costs zero recompiles.
 
 RMSprop matches Keras semantics exactly: ``v ← ρ v + (1-ρ) g²;
-θ ← θ − lr·g/√(v+ε)`` with ρ=0.99, ε=1e-8 (``run_strotss.py:63``) — which is
-``optax.rmsprop(lr, decay=0.99, eps=1e-8)`` (verified in
+θ ← θ − lr·g/√(v+ε)`` with ρ=0.99, ε=1e-8 (``run_strotss.py:63``) — i.e.
+``optax.rmsprop(lr, decay=0.99, eps=1e-8)`` (golden test in
 tests/test_solve.py). Optimizer slots restart at zero each scale because the
 reference allocates fresh ``tf.Variable`` objects per scale
 (``run_strotss.py:89``).
@@ -23,21 +27,19 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from strotss_tpu.config import StrotssConfig
-from strotss_tpu.models.vgg import vgg_apply
+from strotss_tpu.models.vgg import STROTSS_DEFAULT_TAPS, vgg_apply
 from strotss_tpu.ops.image import (
     fold_laplacian_pyramid,
     make_laplacian,
     make_laplacian_pyramid,
     postprocess,
-    resize_like,
-    resize_max,
 )
 from strotss_tpu.ops.losses import content_loss, style_loss
 from strotss_tpu.ops.sampling import (
@@ -45,124 +47,207 @@ from strotss_tpu.ops.sampling import (
     sample_paired,
     sample_style,
 )
-from strotss_tpu.utils.logging import logger
 
 
-def make_optimizer(lr: float) -> optax.GradientTransformation:
-    """TF/Keras-equivalent RMSprop (rho=0.99, eps=1e-8, eps inside sqrt)."""
-    return optax.rmsprop(learning_rate=lr, decay=0.99, eps=1e-8)
+class StepSpec(NamedTuple):
+    """Hashable static configuration of one optimization step."""
+
+    sample_size: int
+    vgg_type: str
+    taps: tuple
+    preprocess_mode: str
+    compute_dtype: str
+    use_sinkhorn: bool
+    sinkhorn_lambda: float
+    sinkhorn_iters: int
+    remd_impl: str
 
 
-def _extract_fn(vgg_params, cfg: StrotssConfig):
-    """Image -> 10-entry hypercolumn list [image, tap1..tap9]."""
-    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-
-    from strotss_tpu.models.vgg import STROTSS_DEFAULT_TAPS
-
-    taps = cfg.taps or STROTSS_DEFAULT_TAPS
-
-    def extract(img):
-        feats = vgg_apply(
-            vgg_params,
-            img,
-            taps=taps,
-            vgg_type=cfg.vgg_type,
-            preprocess_mode="keras" if cfg.use_keras_weight else "norm",
-            compute_dtype=dtype,
-        )
-        return [img] + feats
-
-    return extract
+def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
+    return StepSpec(
+        sample_size=cfg.sample_size,
+        vgg_type=cfg.vgg_type,
+        taps=tuple(cfg.taps or STROTSS_DEFAULT_TAPS),
+        preprocess_mode="keras" if cfg.use_keras_weight else "norm",
+        compute_dtype=cfg.compute_dtype,
+        use_sinkhorn=cfg.use_sinkhorn,
+        sinkhorn_lambda=cfg.sinkhorn_lambda,
+        sinkhorn_iters=cfg.sinkhorn_iters,
+        # the masked path vmaps regions; keep it on the XLA REMD there
+        remd_impl="pallas" if (cfg.use_pallas and not masked) else "xla",
+    )
 
 
-def build_scale_runner(
-    vgg_params,
-    cfg: StrotssConfig,
-    content_feats: List[jnp.ndarray],
-    style_targets: jnp.ndarray,
-    alpha: float,
-    lr: float,
-    content_masks: Optional[jnp.ndarray] = None,
-):
-    """Build the jitted chunk runner for one scale.
+def make_optimizer(lr) -> optax.GradientTransformation:
+    """TF/Keras-equivalent RMSprop (rho=0.99, eps=1e-8, eps inside sqrt).
 
-    ``style_targets``: (n, C) unmasked, or (K, n, C) with ``content_masks``
-    of shape (K, h, w) — one pre-thresholded validity map per region.
-    Returns ``run_chunk(pyramid, opt_state, key, n_steps) -> (pyramid,
-    opt_state, key, metrics(n_steps, 3))``.
+    ``lr`` may be a traced scalar: it is injected as optimizer-state so the
+    per-scale schedule doesn't force a retrace.
     """
-    extract = _extract_fn(vgg_params, cfg)
-    opt = make_optimizer(lr)
-    denom = 2.0 + alpha + 1.0 / max(alpha, 1.0)
-    masked = content_masks is not None
-    n_regions = int(content_masks.shape[0]) if masked else 0
-    # the Pallas kernel path is used for the unmasked (single-transport)
-    # loss; the masked path vmaps over regions and stays on the XLA impl.
-    remd_impl = "pallas" if (cfg.use_pallas and not masked) else "xla"
+    return optax.inject_hyperparams(optax.rmsprop)(
+        learning_rate=lr, decay=0.99, eps=1e-8
+    )
 
-    def loss_fn(pyramid, key):
-        img = fold_laplacian_pyramid(pyramid)
-        pred = extract(img)
 
-        if masked:
-            keys = jax.random.split(key, n_regions)
+def extract_hypercolumn(spec: StepSpec, vgg_params, img: jnp.ndarray):
+    """Image -> hypercolumn list [image, tap1..tapK] (run_strotss.py:95-96)."""
+    dtype = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else jnp.float32
+    feats = vgg_apply(
+        vgg_params,
+        img,
+        taps=spec.taps,
+        vgg_type=spec.vgg_type,
+        preprocess_mode=spec.preprocess_mode,
+        compute_dtype=dtype,
+    )
+    return [img] + feats
 
-            def region(mask, target, k):
-                c_feat, p_feat = sample_paired(
-                    k, content_feats, pred, cfg.sample_size, mask
-                )
-                lc = content_loss(c_feat, p_feat)
-                ls = style_loss(
-                    target,
-                    p_feat,
-                    alpha,
-                    use_sinkhorn=cfg.use_sinkhorn,
-                    sinkhorn_lambda=cfg.sinkhorn_lambda,
-                    sinkhorn_iters=cfg.sinkhorn_iters,
-                    remd_impl=remd_impl,
-                )
-                return lc, ls
 
-            lcs, lss = jax.vmap(region, in_axes=(0, 0, 0))(
-                content_masks, style_targets, keys
-            )
-            loss = jnp.mean((alpha * lcs + lss) / denom)
-            lc, ls = jnp.mean(lcs), jnp.mean(lss)
-        else:
-            c_feat, p_feat = sample_paired(
-                key, content_feats, pred, cfg.sample_size
-            )
-            lc = content_loss(c_feat, p_feat)
-            ls = style_loss(
-                style_targets,
-                p_feat,
-                alpha,
-                use_sinkhorn=cfg.use_sinkhorn,
-                sinkhorn_lambda=cfg.sinkhorn_lambda,
-                sinkhorn_iters=cfg.sinkhorn_iters,
-                remd_impl=remd_impl,
-            )
-            loss = (alpha * lc + ls) / denom
+@partial(jax.jit, static_argnames=("spec",))
+def _extract_j(spec: StepSpec, vgg_params, img):
+    return extract_hypercolumn(spec, vgg_params, img)
+
+
+def resize_max_hw(h: int, w: int, max_size: Optional[int]) -> Tuple[int, int]:
+    """Target (h, w) of the aspect-preserving resize (``nn/utils.py:32-37``)."""
+    if max_size is None:
+        return h, w
+    factor = max(h / max_size, w / max_size)
+    return int(h / factor), int(w / factor)
+
+
+@partial(jax.jit, static_argnames=("mode", "chw", "shw", "levels"))
+def _scale_init_j(mode: str, chw, shw, levels: int, content, style, prev):
+    """One fused program for the per-scale init (run_strotss.py:74-89):
+    resize inputs, build the Laplacian seed, split into pyramid variables."""
+    from strotss_tpu.ops.image import resize_bilinear
+
+    scl_c = resize_bilinear(content, chw)
+    scl_s = resize_bilinear(style, shw)
+    lap = make_laplacian(scl_c)
+    if mode == "first":
+        sty = lap + jnp.mean(scl_s, axis=(1, 2), keepdims=True)
+    elif mode == "mid":
+        sty = resize_bilinear(prev, chw) + lap
+    else:
+        sty = resize_bilinear(prev, chw)
+    return scl_c, scl_s, tuple(make_laplacian_pyramid(sty, levels))
+
+
+@partial(jax.jit, static_argnames=("hw",))
+def _prepare_masks_j(masks, hw):
+    return jax.vmap(lambda m: prepare_mask(m, hw))(masks)
+
+
+_postprocess_j = jax.jit(lambda pyr: postprocess(fold_laplacian_pyramid(pyr)))
+_fold_j = jax.jit(fold_laplacian_pyramid)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _style_targets_j(spec: StepSpec, key, style_feats, style_masks=None):
+    """(n, C) unmasked or (K, n, C) with a (K, h, w) mask stack."""
+    if style_masks is None:
+        return sample_style(key, style_feats, spec.sample_size)
+    keys = jax.random.split(key, style_masks.shape[0])
+    return jax.vmap(
+        lambda m, k: sample_style(k, style_feats, spec.sample_size, m)
+    )(style_masks, keys)
+
+
+def _step_losses(spec, content_feats, pred, style_targets, content_masks,
+                 alpha, key):
+    """(loss, loss_c, loss_s) for one step; alpha is a traced scalar."""
+    denom = 2.0 + alpha + 1.0 / jnp.maximum(alpha, 1.0)
+
+    def one(target, mask, k):
+        c_feat, p_feat = sample_paired(
+            k, content_feats, pred, spec.sample_size, mask
+        )
+        lc = content_loss(c_feat, p_feat)
+        ls = style_loss(
+            target,
+            p_feat,
+            alpha,
+            use_sinkhorn=spec.use_sinkhorn,
+            sinkhorn_lambda=spec.sinkhorn_lambda,
+            sinkhorn_iters=spec.sinkhorn_iters,
+            remd_impl=spec.remd_impl,
+        )
+        return lc, ls
+
+    if content_masks is None:
+        lc, ls = one(style_targets, None, key)
+        loss = (alpha * lc + ls) / denom
         return loss, (lc, ls)
+    n_regions = content_masks.shape[0]
+    keys = jax.random.split(key, n_regions)
+    lcs, lss = jax.vmap(one, in_axes=(0, 0, 0))(
+        style_targets, content_masks, keys
+    )
+    loss = jnp.mean((alpha * lcs + lss) / denom)
+    return loss, (jnp.mean(lcs), jnp.mean(lss))
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "n_steps"),
+    donate_argnames=("pyramid", "opt_state", "key"),
+)
+def run_chunk(
+    spec: StepSpec,
+    n_steps: int,
+    vgg_params,
+    content_feats,
+    style_targets,
+    content_masks,
+    pyramid,
+    opt_state,
+    key,
+    alpha,
+    lr,
+):
+    """``n_steps`` optimization steps as one on-device scan.
+
+    Everything dynamic is an argument; the jit cache is keyed only by
+    (spec, n_steps, shapes) so repeated runs and the α/lr schedules never
+    retrace. ``pyramid``/``opt_state`` are donated for in-place reuse.
+    """
+    opt = make_optimizer(lr)
+
+    def loss_fn(pyr, k):
+        img = fold_laplacian_pyramid(pyr)
+        pred = extract_hypercolumn(spec, vgg_params, img)
+        return _step_losses(
+            spec, content_feats, pred, style_targets, content_masks, alpha, k
+        )
 
     def step(carry, _):
-        pyramid, opt_state, key = carry
-        key, k_step = jax.random.split(key)
-        (loss, (lc, ls)), grads = grad_fn(pyramid, k_step)
-        updates, opt_state = opt.update(grads, opt_state)
-        pyramid = optax.apply_updates(pyramid, updates)
-        return (pyramid, opt_state, key), jnp.stack([loss, lc, ls])
+        pyr, ostate, k = carry
+        k, k_step = jax.random.split(k)
+        (loss, (lc, ls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(pyr, k_step)
+        updates, ostate = opt.update(grads, ostate)
+        pyr = optax.apply_updates(pyr, updates)
+        return (pyr, ostate, k), jnp.stack([loss, lc, ls])
 
-    @partial(jax.jit, static_argnames=("n_steps",))
-    def run_chunk(pyramid, opt_state, key, n_steps: int):
-        (pyramid, opt_state, key), metrics = jax.lax.scan(
-            step, (pyramid, opt_state, key), None, length=n_steps
-        )
-        return pyramid, opt_state, key, metrics
+    (pyramid, opt_state, key), metrics = jax.lax.scan(
+        step, (pyramid, opt_state, key), None, length=n_steps
+    )
+    return pyramid, opt_state, key, metrics
 
-    return run_chunk, opt
+
+def init_opt_state(lr: float, pyramid) -> optax.OptState:
+    return make_optimizer(jnp.asarray(lr, jnp.float32)).init(pyramid)
+
+
+def chunk_plan(max_iter: int, log_every: int) -> List[int]:
+    """Uniform chunks (plus at most one remainder size) to bound traces."""
+    log_every = max(1, min(log_every, max_iter))
+    plan = [log_every] * (max_iter // log_every)
+    if max_iter % log_every:
+        plan.append(max_iter % log_every)
+    return plan
 
 
 def stylize_single(
@@ -174,18 +259,22 @@ def stylize_single(
     style_masks: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     progress_cb: Optional[Callable[[int, int, int, Dict[str, float]], None]] = None,
+    snapshot_cb: Optional[Callable[[int, int, jnp.ndarray], None]] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full coarse-to-fine stylization of one (content, style) pair.
 
     ``content``/``style``: (1,H,W,3) float [0,1]. Masks, if given, are
-    (K,H,W,1) float region indicators (paired content/style regions, see
-    ``strotss_tpu.ops.masks``). Returns (uint8 HWC image, info dict).
+    (K,H,W,1) float region indicators (see ``strotss_tpu.ops.masks``).
+    Returns (uint8 HWC image, info dict with per-scale losses/timings).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     use_mask = content_masks is not None
-    extract = _extract_fn(vgg_params, cfg)
-    extract_j = jax.jit(extract)
+    spec = spec_from_config(cfg, masked=use_mask)
+
+    from strotss_tpu.utils import checkpoint as ckpt
+
+    resume = ckpt.load_meta(cfg.checkpoint_dir)
 
     alpha = cfg.initial_alpha()
     stylized = None
@@ -194,68 +283,73 @@ def stylize_single(
 
     for i, scl in enumerate(cfg.scale_sizes()):
         t_scale = time.perf_counter()
-        key, k_style, k_scale = jax.random.split(jax.random.fold_in(key, i), 3)
+        key, k_style, k_run = jax.random.split(jax.random.fold_in(key, i), 3)
 
-        scl_content = resize_max(content, scl)
-        scl_style = resize_max(style, scl)
-        laplacian = make_laplacian(scl_content)
-
-        # init rules, run_strotss.py:81-88
-        if i == 0:
-            stylized = laplacian + jnp.mean(scl_style, axis=(1, 2), keepdims=True)
-        elif i < cfg.levels - 1:
-            stylized = resize_like(stylized, scl_content) + laplacian
-        else:
-            stylized = resize_like(stylized, scl_content)
+        # init rules, run_strotss.py:74-89
+        chw = resize_max_hw(content.shape[1], content.shape[2], scl)
+        shw = resize_max_hw(style.shape[1], style.shape[2], scl)
+        mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
+        scl_content, scl_style, pyramid = _scale_init_j(
+            mode, chw, shw, cfg.pyramid_levels, content, style,
+            stylized if stylized is not None else content,
+        )
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
 
-        pyramid = make_laplacian_pyramid(stylized, cfg.pyramid_levels)
+        content_feats = _extract_j(spec, vgg_params, scl_content)
+        style_feats = _extract_j(spec, vgg_params, scl_style)
 
-        content_feats = extract_j(scl_content)
-        style_feats = extract_j(scl_style)
-
-        ch, cw = scl_content.shape[1], scl_content.shape[2]
-        sh, sw = scl_style.shape[1], scl_style.shape[2]
         if use_mask:
-            cmasks = jnp.stack(
-                [prepare_mask(m, (ch, cw)) for m in content_masks]
-            )
-            smasks = [prepare_mask(m, (sh, sw)) for m in style_masks]
-            style_targets = jnp.stack(
-                [
-                    sample_style(
-                        jax.random.fold_in(k_style, r),
-                        style_feats,
-                        cfg.sample_size,
-                        sm,
-                    )
-                    for r, sm in enumerate(smasks)
-                ]
-            )
+            cmasks = _prepare_masks_j(content_masks, chw)
+            smasks = _prepare_masks_j(style_masks, shw)
+            style_targets = _style_targets_j(spec, k_style, style_feats, smasks)
         else:
             cmasks = None
-            style_targets = sample_style(k_style, style_feats, cfg.sample_size)
+            style_targets = _style_targets_j(spec, k_style, style_feats)
 
-        run_chunk, opt = build_scale_runner(
-            vgg_params, cfg, content_feats, style_targets, alpha, lr, cmasks
-        )
-        opt_state = opt.init(pyramid)
+        opt_state = init_opt_state(lr, pyramid)
 
         done = 0
-        last = {}
-        k_run = k_scale
-        while done < cfg.max_iter:
-            n = min(cfg.log_every, cfg.max_iter - done)
+        if resume is not None and i < resume["scale_index"]:
+            # this scale completed in the interrupted run; only its final
+            # pyramid matters, and that lives in the checkpointed scale.
+            alpha /= 2.0
+            continue
+        if resume is not None and i == resume["scale_index"]:
+            pyramid, opt_state, k_run = ckpt.restore_state(
+                cfg.checkpoint_dir, (pyramid, opt_state, k_run)
+            )
+            alpha = resume["alpha"]
+            done = min(resume["done_steps"], cfg.max_iter)
+            resume = None
+
+        alpha_t = jnp.asarray(alpha, jnp.float32)
+        lr_t = jnp.asarray(lr, jnp.float32)
+
+        last: Dict[str, float] = {}
+        for n in chunk_plan(cfg.max_iter - done, cfg.log_every):
             pyramid, opt_state, k_run, metrics = run_chunk(
-                pyramid, opt_state, k_run, n
+                spec, n, vgg_params, content_feats, style_targets, cmasks,
+                pyramid, opt_state, k_run, alpha_t, lr_t,
             )
             done += n
+            if cfg.checkpoint_dir:
+                ckpt.save_state(
+                    cfg.checkpoint_dir, i, done, alpha,
+                    pyramid, opt_state, k_run,
+                )
             m = jax.device_get(metrics[-1])
-            last = {"loss": float(m[0]), "loss_c": float(m[1]), "loss_s": float(m[2])}
+            last = {"loss": float(m[0]), "loss_c": float(m[1]),
+                    "loss_s": float(m[2])}
             if progress_cb is not None:
                 progress_cb(scl, done, cfg.max_iter, last)
+            if (
+                snapshot_cb is not None
+                and cfg.save_every > 0
+                and (done % cfg.save_every == 0 or done == cfg.max_iter)
+            ):
+                snapshot_cb(scl, done, _postprocess_j(pyramid))
 
-        stylized = fold_laplacian_pyramid(pyramid)
+        stylized = _fold_j(pyramid)
         jax.block_until_ready(stylized)
         info["scales"].append(
             {
@@ -267,6 +361,6 @@ def stylize_single(
         )
         alpha /= 2.0
 
-    final = postprocess(stylized)
+    final = _postprocess_j(pyramid)
     info["seconds"] = time.perf_counter() - t_total
     return final, info

@@ -1,0 +1,100 @@
+"""Checkpoint / resume for the optimization state.
+
+The reference has no checkpointing — state lives in-process and the output
+is written once at the end (``/root/reference/run_strotss.py:157-161``; see
+SURVEY.md §5). Here the full optimizer state (scale index, step count,
+Laplacian-pyramid variables, RMSprop slots, PRNG key, α) is one small
+pytree, saved atomically at every chunk boundary; an interrupted run
+resumes bit-exactly (validated in tests/test_checkpoint.py).
+
+Format: ``state.npz`` with order-flattened leaves + ``state.json`` with the
+scalar metadata and the pytree structure hash. Restores fill a template
+pytree built by re-running the (deterministic) init path, so no pickle is
+involved.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_STATE_NPZ = "state.npz"
+_STATE_META = "state.json"
+
+
+def _flatten(tree) -> list:
+    return jax.tree_util.tree_leaves(tree)
+
+
+def save_state(
+    directory: str,
+    scale_index: int,
+    done_steps: int,
+    alpha: float,
+    pyramid,
+    opt_state,
+    key,
+) -> None:
+    """Atomically persist the per-scale optimization state."""
+    os.makedirs(directory, exist_ok=True)
+    leaves = _flatten((pyramid, opt_state, key))
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    meta = {
+        "scale_index": int(scale_index),
+        "done_steps": int(done_steps),
+        "alpha": float(alpha),
+        "n_leaves": len(leaves),
+    }
+    # suffix must end in .npz or np.savez silently writes to "<tmp>.npz"
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp.npz")
+    os.close(fd)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, os.path.join(directory, _STATE_NPZ))
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    tmp_meta = os.path.join(directory, _STATE_META + ".tmp")
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(directory, _STATE_META))
+
+
+def load_meta(directory: Optional[str]) -> Optional[Dict[str, Any]]:
+    if not directory:
+        return None
+    path = os.path.join(directory, _STATE_META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def restore_state(directory: str, template: Tuple) -> Tuple:
+    """Fill ``template = (pyramid, opt_state, key)`` with saved leaves."""
+    path = os.path.join(directory, _STATE_NPZ)
+    try:
+        data = np.load(path)
+    except Exception as e:
+        raise ValueError(
+            f"Corrupt or unreadable checkpoint at {path}: {e}. "
+            "Delete the checkpoint directory to restart from scratch."
+        ) from e
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    saved = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    if len(saved) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(saved)} leaves, expected {len(leaves)} — "
+            "config/shape mismatch with the saved run"
+        )
+    new_leaves = [
+        jnp.asarray(s).astype(l.dtype).reshape(l.shape)
+        for s, l in zip(saved, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -72,3 +72,13 @@ def write_image(image, path: str) -> None:
     else:
         im.save(path)
     logger.info(f"Wrote image to {path}")
+
+
+def is_jupyter_env() -> bool:
+    """True inside Jupyter/Colab — parity with ``nn/utils.py:88-94`` (the
+    reference switches to ``tqdm.notebook`` there)."""
+    try:
+        shell = get_ipython().__class__.__name__  # type: ignore # noqa: F821
+        return shell in ("ZMQInteractiveShell", "Shell")
+    except NameError:
+        return False

@@ -10,11 +10,19 @@ from strotss_tpu.parallel.mesh import make_mesh
 from strotss_tpu.parallel.transport import relaxed_emd_sharded
 
 
+def _cpu_devices(n):
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        cpus = [d for d in jax.devices() if d.platform == "cpu"]
+    if len(cpus) < n:
+        pytest.skip(f"needs {n} virtual CPU devices, have {len(cpus)}")
+    return cpus[:n]
+
+
 @pytest.fixture(scope="module")
 def mesh8():
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
-    return make_mesh((8,), ("sample",))
+    return make_mesh((8,), ("sample",), devices=_cpu_devices(8))
 
 
 @pytest.mark.parametrize("dist", ["cosine", "l2", "both"])
@@ -37,13 +45,11 @@ def test_sharded_remd_grad(rng, mesh8):
 
 @pytest.mark.slow
 def test_stylize_batch_data_parallel(rng):
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
     from strotss_tpu.config import StrotssConfig
     from strotss_tpu.models.weights import random_params
     from strotss_tpu.parallel.batch import stylize_batch
 
-    mesh = make_mesh((8,), ("data",))
+    mesh = make_mesh((8,), ("data",), devices=_cpu_devices(8))
     contents = jnp.asarray(rng.random((8, 40, 40, 3)), jnp.float32)
     styles = jnp.asarray(rng.random((8, 40, 40, 3)), jnp.float32)
     cfg = StrotssConfig(

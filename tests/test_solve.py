@@ -60,6 +60,20 @@ def test_stylize_deterministic(rng):
     assert i1["scales"][0]["loss"] == i2["scales"][0]["loss"]
 
 
+def test_stylize_bf16_through_pool(rng):
+    # regression: the bf16 conv path must stay differentiable through
+    # maxpool and the conv transpose (f32-cotangent/bf16-kernel mix)
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = _tiny_cfg(
+        max_iter=2, compute_dtype="bfloat16",
+        taps=("block1_conv1", "block2_conv1"),
+    )
+    img, info = stylize_single(content, style, cfg, params)
+    assert np.isfinite(info["scales"][0]["loss"])
+
+
 def test_stylize_masked_tiny(rng):
     content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
     style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)

@@ -67,6 +67,24 @@ def test_preprocess_modes():
         k[0, 0, 0], 127.5 - np.array([103.939, 116.779, 123.68]), atol=1e-4)
 
 
+def test_grad_through_pool_bf16(rng):
+    # regression: bf16 maxpool must stay on the differentiable
+    # reduce_window_max path (a materialized -inf init value breaks it)
+    import jax
+
+    params = random_params("16", 0)
+    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+
+    def f(img):
+        outs = V.vgg_apply(
+            params, img, taps=("block2_conv1",), compute_dtype=jnp.bfloat16
+        )
+        return jnp.sum(outs[0].astype(jnp.float32))
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 @pytest.mark.slow
 def test_parity_vs_tf_keras(rng):
     tf = pytest.importorskip("tensorflow")
