@@ -64,8 +64,9 @@ def main() -> None:
     cfg = StrotssConfig()  # full defaults: 4 scales x 200 iters, bf16 convs
     params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
 
-    # --- warmup: trigger every per-scale compile with a 1-step config ----
-    warm_cfg = StrotssConfig(max_iter=1, log_every=1)
+    # --- warmup: trigger every per-scale compile with one real-size chunk
+    # (same static n_steps as the measured run, so nothing recompiles there)
+    warm_cfg = StrotssConfig(max_iter=cfg.log_every, log_every=cfg.log_every)
     t0 = time.perf_counter()
     stylize_single(content, style, warm_cfg, params)
     compile_s = time.perf_counter() - t0

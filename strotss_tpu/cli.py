@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_every", type=int, default=0)
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="chunk-boundary checkpoints; resumes if present")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (the functional analogue "
+                             "of the reference's determinism/sanitizer env)")
     parser.add_argument("--taps", type=str, default=None,
                         help="comma-separated VGG tap layers "
                              "(default: the 9 STROTSS taps)")
@@ -102,6 +105,8 @@ def main(argv=None) -> int:
     import jax
 
     enable_compile_cache()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from strotss_tpu.api import stylize
     from strotss_tpu.ops.masks import load_mask

@@ -143,10 +143,15 @@ def _mins_pallas_call(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     n, c = x.shape
     m, _ = y.shape
-    # both tile sizes must be lane-aligned (128): rowmin/colmin accumulator
-    # rows are sliced along the lane dimension in tn/tm-sized chunks
-    tn = min(256, _round_up(n, 128))
-    tm = min(256, _round_up(m, 128))
+    # Both tile sizes must be lane-aligned (128): rowmin/colmin accumulator
+    # rows are sliced along the lane dimension in tn/tm-sized chunks.
+    # VMEM budget: the two feature tiles are double-buffered by the
+    # pipeline — 4·tn·cp·4B + 4·tm·cp·4B must stay well under ~16 MB,
+    # so wide hypercolumns (C≈2179) drop to 128-row tiles.
+    cp_est = _round_up(c, 128)
+    max_tile = 256 if cp_est <= 1024 else 128
+    tn = min(max_tile, _round_up(n, 128))
+    tm = min(max_tile, _round_up(m, 128))
     np_, mp = _round_up(n, tn), _round_up(m, tm)
     cp = _round_up(c, 128)
 

@@ -49,6 +49,21 @@ def _f32(x):
     return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
 
 
+def reshape_2d(x: jnp.ndarray, channel_axis: int = -1) -> jnp.ndarray:
+    """Flatten any tensor to (N, C) with C from ``channel_axis``.
+
+    Parity with the reference's ``reshape_2d`` (``nn/losses.py:31-36``),
+    whose rank-2 fast path never triggered (it compared a dims list to an
+    int); flattening is idempotent for 2-D input so behavior is identical.
+    """
+    if x.ndim == 2:
+        return x
+    x = jnp.squeeze(x)
+    if x.ndim == 2:
+        return x
+    return x.reshape(-1, x.shape[channel_axis])
+
+
 def l2_normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
     """Row-normalize like ``tf.nn.l2_normalize(x, axis=1)`` (eps 1e-12)."""
     sq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
@@ -90,7 +105,7 @@ def moment_matching(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     For the default hypercolumn this is a C x C (~2179²) Gram build — two
     MXU matmuls.
     """
-    x, y = _f32(x), _f32(y)
+    x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     xm = jnp.mean(x, axis=0, keepdims=True)
     ym = jnp.mean(y, axis=0, keepdims=True)
     cx = x - xm
@@ -106,7 +121,7 @@ def self_similarity(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     Called with (prediction, content-target) like the reference's
     ``ContentLoss`` (``run_strotss.py:21-24``).
     """
-    x, y = _f32(x), _f32(y)
+    x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     x_dist = cosine_distance(x, x)
     x_dist = x_dist / jnp.maximum(jnp.sum(x_dist, axis=0), _COLSUM_EPS)
     y_dist = cosine_distance(y, y)
@@ -127,7 +142,7 @@ def relaxed_emd(
     argmin-gather custom VJP. ``impl='xla'`` materializes C — optimal for the
     default N=1024 where C is 4 MB and XLA fuses everything.
     """
-    x, y = _f32(x), _f32(y)
+    x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     if impl == "pallas":
         from strotss_tpu.ops.kernels.remd import relaxed_emd_pallas
 
@@ -155,7 +170,7 @@ def sinkhorn(
     updates), so it stays exact for large λ where ``exp(-λM)`` underflows —
     equivalent to the scaling form in exact arithmetic.
     """
-    x, y = _f32(x), _f32(y)
+    x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     m = dist_metrics[distance](x, y)
     n, mm = m.shape
     log_k = -lam * m
