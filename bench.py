@@ -85,6 +85,25 @@ def main() -> None:
                       for s in info["scales"]),
           file=sys.stderr)
 
+    # optional: batched-throughput mode (BASELINE.json config 4) — report on
+    # stderr, keep the driver's single JSON line on stdout
+    batch = int(os.environ.get("STROTSS_BENCH_BATCH", "0"))
+    if batch > 0:
+        from strotss_tpu.parallel.batch import stylize_batch
+
+        contents = jnp.concatenate([content] * batch)
+        styles_b = jnp.concatenate(
+            [synth_image(400, 300, 3 + i) for i in range(batch)]
+        )
+        stylize_batch(contents, styles_b, warm_cfg, params)  # compile
+        t0 = time.perf_counter()
+        out, _ = stylize_batch(contents, styles_b, cfg, params)
+        jax.block_until_ready(out)
+        bt = time.perf_counter() - t0
+        print(f"# batched: {batch} pairs in {bt:.2f}s = "
+              f"{batch / bt * 60:.1f} images/min/chip "
+              f"({bt / batch:.2f}s/image amortized)", file=sys.stderr)
+
     print(json.dumps({
         "metric": "full_512px_multiscale_stylization_wallclock",
         "value": round(elapsed, 3),
