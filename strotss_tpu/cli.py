@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_every", type=int, default=0)
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="chunk-boundary checkpoints; resumes if present")
+    parser.add_argument("--sample_size", type=int, default=1024,
+                        help="feature samples per step (reference pins 1024)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="enable jax_debug_nans (the functional analogue "
                              "of the reference's determinism/sanitizer env)")
@@ -120,6 +122,7 @@ def main(argv=None) -> int:
         max_iter=args.max_iter,
         alpha=args.alpha,
         max_size=args.max_size,
+        sample_size=args.sample_size,
         use_keras_weight=args.use_keras_weight,
         compute_dtype=args.compute_dtype,
         seed=args.seed,
