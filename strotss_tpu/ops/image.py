@@ -13,7 +13,6 @@ built from chained resizes.
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple
 
 import jax

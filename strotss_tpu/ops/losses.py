@@ -25,7 +25,6 @@ materializes N x M in HBM (``strotss_tpu/ops/kernels/remd.py``) for large N.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
