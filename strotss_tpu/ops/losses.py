@@ -140,8 +140,13 @@ def relaxed_emd(
     row/col minima (no N x M HBM tensor); gradients flow through an exact
     argmin-gather custom VJP. ``impl='xla'`` materializes C — optimal for the
     default N=1024 where C is 4 MB and XLA fuses everything.
+    ``impl='auto'`` picks by problem size: measured on v5e, XLA wins below
+    ~2048² (fixed kernel overheads dominate) and the tiled kernel wins once
+    the cost matrix stops fitting comfortably in HBM traffic.
     """
     x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
+    if impl == "auto":
+        impl = "pallas" if (x.shape[0] * y.shape[0] >= 2048 * 2048) else "xla"
     if impl == "pallas":
         from strotss_tpu.ops.kernels.remd import relaxed_emd_pallas
 

@@ -279,3 +279,42 @@ def sample_paired(
         sample_hypercolumn(xs, coords, bilinear=True),
         sample_hypercolumn(ys, coords, bilinear=True),
     )
+
+
+class Sampling:
+    """Stateful convenience wrapper mirroring the reference's ``Sampling``
+    module API (``nn/strotss_utils.py:20-136``): ``Sampling(n)(xs)`` for
+    style targets, ``.bilinear(xs, ys, mask=...)`` for paired
+    content/prediction sampling.
+
+    The reference relies on stateful TF RNG ops; here each call advances an
+    internal PRNG key. This wrapper is host-side sugar — inside ``jit``/
+    ``scan`` use the functional API (`sample_style`/`sample_paired`) with an
+    explicit key.
+    """
+
+    def __init__(self, sample_size: int, seed: int = 0):
+        self.sample_size = sample_size
+        self._key = jax.random.PRNGKey(seed)
+
+    def _next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def __call__(self, xs, ys=None, mask=None, bilinear_sampling=False):
+        key = self._next_key()
+        base = _squeeze_map(xs[0])
+        hw = base.shape[:2]
+        if mask is not None and mask.ndim != 2:
+            mask = prepare_mask(mask, hw)
+        if bilinear_sampling:
+            coords = strided_grid_coords(key, hw, self.sample_size, mask)
+        else:
+            coords = full_grid_coords(key, hw, self.sample_size, mask)
+        ret = sample_hypercolumn(xs, coords, bilinear=bilinear_sampling)
+        if ys is not None:
+            return ret, sample_hypercolumn(ys, coords, bilinear=bilinear_sampling)
+        return ret
+
+    def bilinear(self, xs, ys=None, mask=None):
+        return self(xs, ys=ys, mask=mask, bilinear_sampling=True)

@@ -73,8 +73,9 @@ def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
         use_sinkhorn=cfg.use_sinkhorn,
         sinkhorn_lambda=cfg.sinkhorn_lambda,
         sinkhorn_iters=cfg.sinkhorn_iters,
-        # the masked path vmaps regions; keep it on the XLA REMD there
-        remd_impl="pallas" if (cfg.use_pallas and not masked) else "xla",
+        # auto: Pallas only where the tiled kernel actually wins (large
+        # sample counts); the masked path vmaps regions -> XLA impl there
+        remd_impl="auto" if (cfg.use_pallas and not masked) else "xla",
     )
 
 

@@ -116,6 +116,19 @@ def test_sample_paired_shared_coords(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_sampling_class_api(rng):
+    # reference-parity class surface: Sampling(n)(xs) / .bilinear(xs, ys)
+    feats = [jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)]
+    s = S.Sampling(24, seed=0)
+    t = s(feats)
+    assert t.shape == (24, 3)
+    a, b = s.bilinear(feats, feats)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # stateful: consecutive calls draw different samples
+    t2 = s(feats)
+    assert not np.array_equal(np.asarray(t), np.asarray(t2))
+
+
 def test_prepare_mask_allpass():
     from strotss_tpu.ops.sampling import prepare_mask
 

@@ -1,0 +1,52 @@
+"""Solver plumbing: chunk plans, resize arithmetic, Sinkhorn-mode step."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from strotss_tpu.config import StrotssConfig
+from strotss_tpu.models.weights import random_params
+from strotss_tpu.solve import chunk_plan, resize_max_hw, stylize_single
+
+
+def test_chunk_plan():
+    assert chunk_plan(200, 50) == [50, 50, 50, 50]
+    assert chunk_plan(7, 3) == [3, 3, 1]
+    assert chunk_plan(2, 50) == [2]
+    assert chunk_plan(0, 50) == []
+    assert chunk_plan(5, 1) == [1] * 5
+
+
+def test_resize_max_hw():
+    # matches the reference's truncating arithmetic (nn/utils.py:32-37)
+    assert resize_max_hw(321, 481, 512) == (341, 512)
+    assert resize_max_hw(48, 64, 128) == (96, 128)
+    assert resize_max_hw(100, 50, None) == (100, 50)
+    assert resize_max_hw(64, 42, 64) == (64, 42)
+
+
+def test_stylize_sinkhorn_mode(rng):
+    # config-5 style transport: full entropic OT instead of REMD
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=1, max_iter=2, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+        use_sinkhorn=True, sinkhorn_lambda=20.0, sinkhorn_iters=10,
+    )
+    img, info = stylize_single(content, style, cfg, params)
+    assert np.isfinite(info["scales"][0]["loss"])
+    assert img.dtype == jnp.uint8
+
+
+def test_alpha_schedule_in_info(rng):
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=2, max_iter=2, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    _, info = stylize_single(content, style, cfg, params)
+    alphas = [s["alpha"] for s in info["scales"]]
+    assert alphas == [16.0, 8.0]  # run_strotss.py:65,155
