@@ -103,7 +103,8 @@ def run_reference(content, style, params, scale, steps, alpha, lr, sample_size):
     return np.asarray(losses)
 
 
-def run_ours(content, style, params, scale, steps, lr, sample_size):
+def run_ours(content, style, params, scale, steps, lr, sample_size,
+             dtype="float32"):
     import jax.numpy as jnp
 
     from strotss_tpu.config import StrotssConfig
@@ -115,7 +116,7 @@ def run_ours(content, style, params, scale, steps, lr, sample_size):
         log_every=1,
         lr=lr,
         sample_size=sample_size,
-        compute_dtype="float32",
+        compute_dtype=dtype,
         use_pallas=False,
         max_size=scale,
     )
@@ -137,6 +138,10 @@ def main():
     ap.add_argument("--scale", type=int, default=64)
     ap.add_argument("--tail", type=int, default=15)
     ap.add_argument("--sample_size", type=int, default=1024)
+    ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--reuse_reference", type=str, default=None,
+                    help="path to a previous parity_report.json whose "
+                         "reference numbers (same config) should be reused")
     args = ap.parse_args()
 
     from strotss_tpu.models.weights import random_params
@@ -147,23 +152,36 @@ def main():
     alpha, lr = 16.0, 2e-3
 
     ours = run_ours(content, style, params, args.scale, args.steps, lr,
-                    args.sample_size)
-    ref = run_reference(content, style, params, args.scale, args.steps,
-                        alpha, lr, args.sample_size)
+                    args.sample_size, args.dtype)
+    prev = None
+    if args.reuse_reference:
+        with open(args.reuse_reference) as f:
+            prev = json.load(f)
+        assert prev["steps"] == args.steps and prev["tail"] == args.tail, (
+            "reference report config mismatch")
+        ref = None
+    else:
+        ref = run_reference(content, style, params, args.scale, args.steps,
+                            alpha, lr, args.sample_size)
 
-    report = {"steps": args.steps, "scale": args.scale, "tail": args.tail}
+    report = {"steps": args.steps, "scale": args.scale, "tail": args.tail,
+              "ours_dtype": args.dtype}
     for idx, name in enumerate(["loss", "loss_c", "loss_s"]):
-        r = float(ref[-args.tail:, idx].mean())
+        r = (prev[name]["reference"] if prev is not None
+             else float(ref[-args.tail:, idx].mean()))
         o = float(ours[-args.tail:, idx].mean())
         report[name] = {
             "reference": r,
             "ours": o,
             "rel_diff": abs(o - r) / max(abs(r), 1e-9),
         }
-    report["ref_first_last"] = [float(ref[0, 0]), float(ref[-1, 0])]
+    if ref is not None:
+        report["ref_first_last"] = [float(ref[0, 0]), float(ref[-1, 0])]
     report["ours_first_last"] = [float(ours[0, 0]), float(ours[-1, 0])]
 
-    out = os.path.join(HERE, "..", "tests", "golden", "parity_report.json")
+    suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    out = os.path.join(HERE, "..", "tests", "golden",
+                       f"parity_report{suffix}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
