@@ -193,8 +193,11 @@ def _mins_pallas_call(
         out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * np_ * mp * cp * (2 if distance == "both" else 1),
-            bytes_accessed=4 * (np_ * cp + mp * cp + 2 * (np_ + mp)),
+            # capped: huge values overflow the compile-service protos
+            flops=min(2 * np_ * mp * cp * (2 if distance == "both" else 1),
+                      2 ** 31 - 1),
+            bytes_accessed=min(4 * (np_ * cp + mp * cp + 2 * (np_ + mp)),
+                               2 ** 31 - 1),
             transcendentals=0,
         ),
     )(n_s, m_s, xp, yp)

@@ -114,13 +114,27 @@ def moment_matching(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return mae(xv, yv) + mae(xm, ym)
 
 
-def self_similarity(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def self_similarity(
+    x: jnp.ndarray, y: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
     """STROTSS content loss: compare column-normalized self-cosine matrices.
 
     Called with (prediction, content-target) like the reference's
-    ``ContentLoss`` (``run_strotss.py:21-24``).
+    ``ContentLoss`` (``run_strotss.py:21-24``). ``impl='pallas'`` streams
+    tiles instead of materializing the two N x N matrices
+    (``ops/kernels/selfsim.py``); ``'auto'`` switches to it at N >= 4096
+    where XLA's N² buffers start to hurt.
     """
     x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
+    if impl == "auto":
+        impl = "pallas" if (
+            x.shape[0] >= 4096 and x.shape == y.shape
+        ) else "xla"
+    if impl == "pallas":
+        from strotss_tpu.ops.kernels.selfsim import self_similarity_pallas
+
+        interpret = jax.default_backend() != "tpu"
+        return self_similarity_pallas(x, y, interpret)
     x_dist = cosine_distance(x, x)
     x_dist = x_dist / jnp.maximum(jnp.sum(x_dist, axis=0), _COLSUM_EPS)
     y_dist = cosine_distance(y, y)

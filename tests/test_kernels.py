@@ -47,6 +47,37 @@ def test_remd_grad_matches_xla(rng, dist):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_selfsim_pallas_forward(rng):
+    from strotss_tpu.ops.kernels.selfsim import self_similarity_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    for n, c in [(96, 20), (130, 35)]:
+        x = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((n, c)), jnp.float32)
+        ref = float(L.self_similarity(x, y, impl="xla"))
+        out = float(self_similarity_pallas(x, y, interpret))
+        np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_selfsim_pallas_grad(rng):
+    from strotss_tpu.ops.kernels.selfsim import self_similarity_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    x = jnp.asarray(rng.standard_normal((96, 20)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((96, 20)), jnp.float32)
+    gx_r, gy_r = jax.grad(
+        lambda a, b: L.self_similarity(a, b, impl="xla"), argnums=(0, 1)
+    )(x, y)
+    gx, gy = jax.grad(
+        lambda a, b: self_similarity_pallas(a, b, interpret), argnums=(0, 1)
+    )(x, y)
+    scale = float(jnp.abs(gx_r).max())
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r),
+                               atol=1e-6 * max(scale * 1e3, 1.0))
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_r),
+                               atol=1e-6 * max(scale * 1e3, 1.0))
+
+
 def test_remd_grad_style_like(rng):
     # asymmetric alpha-weighted combination, like the style loss uses it
     x = jnp.asarray(rng.standard_normal((40, 9)), jnp.float32)
