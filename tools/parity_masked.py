@@ -1,0 +1,181 @@
+"""Masked (region-transfer) loss-parity experiment vs the TF reference.
+
+Same methodology as tools/parity_tf.py but for BASELINE config 3: two
+paired regions, the reference's masked train step
+(``/root/reference/run_strotss.py:97-125``) rebuilt from the reference's
+own modules, vs our masked solver with identical injected VGG weights.
+Trailing-window mean losses are compared (RNG streams differ).
+
+Usage: python tools/parity_masked.py [--steps 120] [--tail 40]
+Writes tests/golden/parity_masked.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+
+import numpy as np
+
+REF = "/root/reference"
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, ".."))
+
+from parity_tf import synth  # noqa: E402
+
+
+def masks(h, w):
+    """Two content regions (top/bottom) paired with style regions
+    (left/right), as (K,H,W,1) float arrays."""
+    cm = np.zeros((2, h, w, 1), np.float32)
+    cm[0, : h // 2] = 1.0
+    cm[1, h // 2:] = 1.0
+    return cm
+
+
+def run_reference(content, style, cmasks, smasks, params, scale, steps,
+                  alpha, lr, sample_size):
+    sys.path.insert(0, REF)
+    from nn import losses as rl
+    from nn import strotss_utils as ru
+    from nn import utils as rutils
+    import tensorflow as tf
+
+    base = tf.keras.applications.VGG16(include_top=False, weights=None)
+    for name, p in params.items():
+        base.get_layer(name).set_weights(
+            [np.asarray(p["kernel"]), np.asarray(p["bias"])]
+        )
+    taps = ["block1_conv1", "block1_conv2", "block2_conv1", "block2_conv2",
+            "block3_conv1", "block3_conv2", "block3_conv3", "block4_conv3",
+            "block5_conv3"]
+    net = tf.keras.Model(base.input, [base.get_layer(t).output for t in taps])
+    mean = tf.constant([0.485, 0.456, 0.406], tf.float32)[None, None, None]
+    std = tf.constant([0.229, 0.224, 0.225], tf.float32)[None, None, None]
+
+    def vgg(x):
+        return net((x - mean) / std)
+
+    c = rutils.resize(tf.constant(content[None]), scale)
+    s = rutils.resize(tf.constant(style[None]), scale)
+    content_masks = [tf.constant(m) for m in cmasks]
+    style_masks = [tf.constant(m) for m in smasks]
+
+    lap = ru.make_laplacian(c)
+    stylized = lap + tf.reduce_mean(s, axis=(1, 2), keepdims=True)
+    variables = [tf.Variable(p) for p in ru.make_laplacian_pyramid(stylized)]
+
+    sampling = ru.Sampling(sample_size)
+    denom = 2.0 + alpha + 1.0 / max(alpha, 1.0)
+    inv_alpha = 1.0 / max(alpha, 1.0)
+
+    content_feat = [c] + vgg(c)
+    style_feat = [s] + vgg(s)
+    style_targets = [sampling(style_feat, mask=sm) for sm in style_masks]
+
+    opt = tf.keras.optimizers.RMSprop(rho=0.99, epsilon=1e-8, learning_rate=lr)
+    k_regions = len(content_masks)
+
+    @tf.function
+    def train_step():
+        with tf.GradientTape() as tape:
+            img = ru.fold_laplacian_pyramid(variables)
+            pred = [img] + vgg(img)
+            loss = 0.0
+            lc_a = 0.0
+            ls_a = 0.0
+            for i in range(k_regions):
+                c_feat, p_feat = sampling.bilinear(
+                    content_feat, pred, mask=content_masks[i]
+                )
+                lc = rl.self_similarity(p_feat, c_feat)
+                tgt = style_targets[i]
+                ls = (
+                    rl.moment_matching(tgt, p_feat)
+                    + rl.relaxed_emd(tgt, p_feat)
+                    + inv_alpha * rl.relaxed_emd(
+                        ru.convert_rgb_to_yuv(tgt),
+                        ru.convert_rgb_to_yuv(p_feat),
+                        distance="both",
+                    )
+                )
+                loss += (alpha * lc + ls) / denom
+                lc_a += lc
+                ls_a += ls
+            loss /= k_regions
+        grads = tape.gradient(loss, variables)
+        return loss, lc_a / k_regions, ls_a / k_regions, grads
+
+    out = []
+    for _ in range(steps):
+        loss, lc, ls, grads = train_step()
+        opt.apply_gradients(zip(grads, variables))
+        out.append([float(loss), float(lc), float(ls)])
+    return np.asarray(out)
+
+
+def run_ours(content, style, cmasks, smasks, params, scale, steps, lr,
+             sample_size):
+    import jax.numpy as jnp
+
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.solve import stylize_single
+
+    cfg = StrotssConfig(
+        levels=1, max_iter=steps, log_every=1, lr=lr,
+        sample_size=sample_size, compute_dtype="float32",
+        use_pallas=False, max_size=scale,
+    )
+    traj = []
+
+    def cb(scl, done, total, metrics):
+        traj.append([metrics["loss"], metrics["loss_c"], metrics["loss_s"]])
+
+    stylize_single(
+        jnp.asarray(content)[None], jnp.asarray(style)[None], cfg, params,
+        content_masks=jnp.asarray(cmasks), style_masks=jnp.asarray(smasks),
+        progress_cb=cb,
+    )
+    return np.asarray(traj)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--tail", type=int, default=40)
+    ap.add_argument("--scale", type=int, default=64)
+    ap.add_argument("--sample_size", type=int, default=1024)
+    args = ap.parse_args()
+
+    from strotss_tpu.models.weights import random_params
+
+    params = random_params("16", 0)
+    content = synth(96, 80, 1)
+    style = synth(88, 104, 2)
+    cm = masks(96, 80)
+    sm = np.zeros((2, 88, 104, 1), np.float32)
+    sm[0, :, :52] = 1.0
+    sm[1, :, 52:] = 1.0
+    alpha, lr = 16.0, 2e-3
+
+    ours = run_ours(content, style, cm, sm, params, args.scale, args.steps,
+                    lr, args.sample_size)
+    ref = run_reference(content, style, cm, sm, params, args.scale,
+                        args.steps, alpha, lr, args.sample_size)
+
+    report = {"steps": args.steps, "tail": args.tail, "masked": True}
+    for idx, name in enumerate(["loss", "loss_c", "loss_s"]):
+        r = float(ref[-args.tail:, idx].mean())
+        o = float(ours[-args.tail:, idx].mean())
+        report[name] = {"reference": r, "ours": o,
+                        "rel_diff": abs(o - r) / max(abs(r), 1e-9)}
+    out = os.path.join(HERE, "..", "tests", "golden", "parity_masked.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
