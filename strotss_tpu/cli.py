@@ -150,7 +150,12 @@ def main(argv=None) -> int:
         )
 
     try:
-        from tqdm import tqdm
+        from strotss_tpu.utils.io import is_jupyter_env
+
+        if is_jupyter_env():  # notebook-aware bar, like run_strotss.py:15-18
+            from tqdm.notebook import tqdm
+        else:
+            from tqdm import tqdm
 
         bar = tqdm(total=cfg.levels * cfg.max_iter)
         prog = {"base": 0, "scl": None}
