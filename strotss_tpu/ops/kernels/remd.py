@@ -174,7 +174,6 @@ def _mins_pallas_call(
         jax.ShapeDtypeStruct((1, mp), jnp.float32),
         jax.ShapeDtypeStruct((1, mp), jnp.int32),
     )
-    const_spec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     rowmin, rowarg, colmin, colarg = pl.pallas_call(
         kernel,
         grid=grid,

@@ -197,6 +197,9 @@ def sinkhorn(
     log_u = jnp.zeros((n,), dtype=m.dtype)
     log_v = jnp.zeros((mm,), dtype=m.dtype)
 
+    # remat the iteration: without it the scan backward saves an N x N
+    # logsumexp residual per iteration (8 GB at N=8192, 30 iters)
+    @jax.checkpoint
     def body(carry, _):
         log_u, log_v = carry
         log_u = log_p - jax.nn.logsumexp(log_k + log_v[None, :], axis=1)
