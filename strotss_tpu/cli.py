@@ -79,7 +79,11 @@ def set_device(index: int = 0) -> None:
     if devices:
         if index >= len(devices):
             raise ValueError(f"Invalid device ID: {index}")
-        jax.config.update("jax_default_device", devices[index])
+        # only pin when it differs from the process default: setting
+        # jax_default_device changes the compilation-cache key, which
+        # would make CLI runs recompile programs the library path cached
+        if jax.devices()[0] != devices[index]:
+            jax.config.update("jax_default_device", devices[index])
     else:
         logger.info("Accelerator not found. Using CPU.")
 
