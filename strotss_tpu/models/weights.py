@@ -61,42 +61,82 @@ def _load_npz(path: str, vgg_type: str) -> Params:
     return params
 
 
+def _natural_key(s: str):
+    """Digit-aware sort key: 'conv2d_2' < 'conv2d_10' (plain string sort
+    puts _10 before _2, which scrambles Keras-3 layer order)."""
+    import re
+
+    # tag tokens so int-vs-str comparisons can never raise on odd names
+    return [
+        (0, int(t), "") if t.isdigit() else (1, 0, t)
+        for t in re.split(r"(\d+)", s)
+    ]
+
+
 def _load_h5(path: str, vgg_type: str) -> Optional[Params]:
     """Convert a Keras-format VGG .h5 into our pytree.
 
-    Tolerant to both layouts seen in the wild: per-layer groups holding
-    ``kernel:0``/``bias:0`` datasets, or legacy ``<name>_W``/``<name>_b``.
-    Matches 4-D kernels to conv layers in file order.
+    Tolerant to all three layouts seen in the wild:
+
+    - Keras 2 / tf.keras ``model.save_weights``: ``model_weights`` root,
+      per-layer groups holding ``kernel:0`` / ``bias:0`` datasets;
+    - legacy Theano-era files: ``<name>_W`` / ``<name>_b``;
+    - Keras 3 ``.weights.h5``: ``layers/conv2d_N/vars/{0,1}``.
+
+    Each 4-D kernel is paired with the 1-D bias from the *same* h5 group
+    (never positionally across the file), layers are ordered by a
+    digit-aware sort of their group names (h5 visits ``conv2d_10`` before
+    ``conv2d_2``), and the resulting chain is validated against the exact
+    VGG shape sequence — a file that doesn't match returns None rather than
+    producing silently-wrong params.
     """
     try:
         import h5py
     except ImportError:
         return None
-    kernels, biases = [], []
+    pairs = []  # (group_name, kernel, bias)
 
     def visit(name, obj):
         if hasattr(obj, "shape") and obj.ndim == 4:
-            kernels.append((name, np.asarray(obj)))
-        elif hasattr(obj, "shape") and obj.ndim == 1 and obj.shape[0] >= 64:
-            biases.append((name, np.asarray(obj)))
+            parent = obj.parent
+            bias = None
+            for sib in parent.values():
+                if (
+                    hasattr(sib, "shape")
+                    and sib.ndim == 1
+                    and sib.shape[0] == obj.shape[-1]
+                ):
+                    bias = np.asarray(sib)
+                    break
+            if bias is not None:
+                pairs.append((name, np.asarray(obj), bias))
 
     with h5py.File(path, "r") as f:
         root = f["model_weights"] if "model_weights" in f else f
         root.visititems(visit)
 
+    pairs.sort(key=lambda t: _natural_key(t[0]))
     names = vgg_layer_names(vgg_type)
     chans = vgg_layer_channels(vgg_type)
-    if len(kernels) < len(names):
+    if len(pairs) < len(names):
         return None
     params: Params = {}
-    for name, (kn, k), (bn, b) in zip(names, kernels, biases):
-        if k.shape[-1] != chans[name] or b.shape[0] != chans[name]:
+    cin = 3
+    for name, (gname, k, b) in zip(names, pairs):
+        if (
+            k.shape[-1] != chans[name]
+            or k.shape[-2] != cin
+            or k.shape[:2] != (3, 3)
+            or b.shape[0] != chans[name]
+        ):
             logger.warning(
-                f"h5 layer shape mismatch at {name}: {k.shape}/{b.shape}; "
-                "skipping this weight file"
+                f"h5 layer shape mismatch at {name} "
+                f"(expect (3,3,{cin},{chans[name]})): {k.shape}/{b.shape} "
+                f"from '{gname}'; skipping this weight file"
             )
             return None
         params[name] = {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}
+        cin = chans[name]
     return params
 
 

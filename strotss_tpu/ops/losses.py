@@ -244,6 +244,12 @@ def style_loss(
     return l_m + l_t + inv_alpha * l_p
 
 
-def content_loss(target: jnp.ndarray, prediction: jnp.ndarray) -> jnp.ndarray:
-    """Reference ``ContentLoss``: self-similarity of (prediction, target)."""
-    return self_similarity(prediction, target)
+def content_loss(
+    target: jnp.ndarray, prediction: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Reference ``ContentLoss``: self-similarity of (prediction, target).
+
+    ``impl`` threads the StepSpec gating through (the masked vmap path must
+    force 'xla': vmap over the Pallas custom_vjp may not batch on TPU).
+    """
+    return self_similarity(prediction, target, impl=impl)

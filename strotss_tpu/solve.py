@@ -31,6 +31,7 @@ from typing import Callable, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from strotss_tpu.config import StrotssConfig
@@ -40,6 +41,8 @@ from strotss_tpu.ops.image import (
     make_laplacian,
     make_laplacian_pyramid,
     postprocess,
+    resize_bilinear,
+    resize_max,
 )
 from strotss_tpu.ops.losses import content_loss, style_loss
 from strotss_tpu.ops.sampling import (
@@ -61,9 +64,14 @@ class StepSpec(NamedTuple):
     sinkhorn_lambda: float
     sinkhorn_iters: int
     remd_impl: str
+    selfsim_impl: str
 
 
 def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
+    # auto: Pallas only where the tiled kernels actually win (large sample
+    # counts); the masked path vmaps regions -> force the XLA impl there
+    # (vmap over pallas_call/custom_vjp may not batch/lower on TPU)
+    impl = "auto" if (cfg.use_pallas and not masked) else "xla"
     return StepSpec(
         sample_size=cfg.sample_size,
         vgg_type=cfg.vgg_type,
@@ -73,9 +81,8 @@ def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
         use_sinkhorn=cfg.use_sinkhorn,
         sinkhorn_lambda=cfg.sinkhorn_lambda,
         sinkhorn_iters=cfg.sinkhorn_iters,
-        # auto: Pallas only where the tiled kernel actually wins (large
-        # sample counts); the masked path vmaps regions -> XLA impl there
-        remd_impl="auto" if (cfg.use_pallas and not masked) else "xla",
+        remd_impl=impl,
+        selfsim_impl=impl,
     )
 
 
@@ -117,12 +124,9 @@ def resize_max_hw(h: int, w: int, max_size: Optional[int]) -> Tuple[int, int]:
     return int(h / factor), int(w / factor)
 
 
-@partial(jax.jit, static_argnames=("mode", "chw", "shw", "levels"))
-def _scale_init_j(mode: str, chw, shw, levels: int, content, style, prev):
-    """One fused program for the per-scale init (run_strotss.py:74-89):
-    resize inputs, build the Laplacian seed, split into pyramid variables."""
-    from strotss_tpu.ops.image import resize_bilinear
-
+def _scale_seed(mode: str, chw, shw, levels: int, content, style, prev):
+    """Per-scale init math (run_strotss.py:74-89): resize inputs, build the
+    Laplacian seed, split into pyramid variables."""
     scl_c = resize_bilinear(content, chw)
     scl_s = resize_bilinear(style, shw)
     lap = make_laplacian(scl_c)
@@ -133,6 +137,11 @@ def _scale_init_j(mode: str, chw, shw, levels: int, content, style, prev):
     else:
         sty = resize_bilinear(prev, chw)
     return scl_c, scl_s, tuple(make_laplacian_pyramid(sty, levels))
+
+
+@partial(jax.jit, static_argnames=("mode", "chw", "shw", "levels"))
+def _scale_init_j(mode: str, chw, shw, levels: int, content, style, prev):
+    return _scale_seed(mode, chw, shw, levels, content, style, prev)
 
 
 @partial(jax.jit, static_argnames=("hw",))
@@ -155,6 +164,59 @@ def _style_targets_j(spec: StepSpec, key, style_feats, style_masks=None):
     )(style_masks, keys)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "mode", "chw", "shw", "levels"),
+)
+def prepare_scale(
+    spec: StepSpec,
+    mode: str,
+    chw,
+    shw,
+    levels: int,
+    vgg_params,
+    content,
+    style,
+    prev,
+    k_style,
+    lr,
+    content_masks=None,
+    style_masks=None,
+):
+    """The entire per-scale setup as ONE jitted program.
+
+    Fuses what round 1 ran as 5+ separate programs per scale (scale init,
+    two hypercolumn extractions, style-target sampling, mask prep, optimizer
+    init) — each a 20-120 s remote-compile round trip on this backend — into
+    a single trace: resize both inputs, build the Laplacian-pyramid seed,
+    extract both VGG hypercolumns, sample the style targets (per region when
+    masked), resize/threshold the content masks, and init the RMSprop state.
+
+    Reference analogue: the per-scale body of ``run_strotss.py:74-101,128``.
+    """
+    scl_c, scl_s, pyramid = _scale_seed(
+        mode, chw, shw, levels, content, style, prev
+    )
+    content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
+    style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
+
+    if style_masks is not None:
+        smasks = jax.vmap(lambda m: prepare_mask(m, shw))(style_masks)
+        keys = jax.random.split(k_style, smasks.shape[0])
+        style_targets = jax.vmap(
+            lambda m, k: sample_style(k, style_feats, spec.sample_size, m)
+        )(smasks, keys)
+    else:
+        style_targets = sample_style(k_style, style_feats, spec.sample_size)
+
+    cmasks = None
+    if content_masks is not None:
+        cmasks = jax.vmap(lambda m: prepare_mask(m, chw))(content_masks)
+
+    opt_state = make_optimizer(lr).init(pyramid)
+    return pyramid, content_feats, style_targets, cmasks, opt_state
+
+
 def _step_losses(spec, content_feats, pred, style_targets, content_masks,
                  alpha, key):
     """(loss, loss_c, loss_s) for one step; alpha is a traced scalar."""
@@ -164,7 +226,7 @@ def _step_losses(spec, content_feats, pred, style_targets, content_masks,
         c_feat, p_feat = sample_paired(
             k, content_feats, pred, spec.sample_size, mask
         )
-        lc = content_loss(c_feat, p_feat)
+        lc = content_loss(c_feat, p_feat, impl=spec.selfsim_impl)
         ls = style_loss(
             target,
             p_feat,
@@ -212,6 +274,12 @@ def run_chunk(
     Everything dynamic is an argument; the jit cache is keyed only by
     (spec, n_steps, shapes) so repeated runs and the α/lr schedules never
     retrace. ``pyramid``/``opt_state`` are donated for in-place reuse.
+
+    Besides the per-step (n, 3) metric block (loss / loss_c / loss_s rows —
+    the host replays them for the per-step progress display,
+    ``run_strotss.py:148-152``), also returns the folded stylized image and
+    its uint8 postprocess — so scale handoff and snapshotting need no extra
+    compiled programs.
     """
     opt = make_optimizer(lr)
 
@@ -235,7 +303,8 @@ def run_chunk(
     (pyramid, opt_state, key), metrics = jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
     )
-    return pyramid, opt_state, key, metrics
+    img = fold_laplacian_pyramid(pyramid)
+    return pyramid, opt_state, key, metrics, img, postprocess(img)
 
 
 def init_opt_state(lr: float, pyramid) -> optax.OptState:
@@ -266,19 +335,48 @@ def stylize_single(
 
     ``content``/``style``: (1,H,W,3) float [0,1]. Masks, if given, are
     (K,H,W,1) float region indicators (see ``strotss_tpu.ops.masks``).
-    Returns (uint8 HWC image, info dict with per-scale losses/timings).
+    Returns (uint8 HWC image, info dict with per-scale losses/timings and
+    the full per-step loss curve). ``progress_cb`` is invoked once per
+    optimization step (replayed from each chunk's metric block), matching
+    the reference's per-iteration display (``run_strotss.py:148-152``).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
+    # reference semantics: max_size always caps the inputs
+    # (``nn/utils.py:44-57``) — apply it in the library path too, not
+    # just at CLI image-load time (idempotent when already applied).
+    content = resize_max(content, cfg.max_size)
+    style = resize_max(style, cfg.max_size)
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
 
     from strotss_tpu.utils import checkpoint as ckpt
 
+    fingerprint = {
+        "lr": cfg.lr,
+        "levels": cfg.levels,
+        "max_iter": cfg.max_iter,
+        "alpha": cfg.alpha,
+        "pyramid_levels": cfg.pyramid_levels,
+        "seed": cfg.seed,
+        "spec": [list(v) if isinstance(v, tuple) else v for v in spec],
+        "content_shape": list(content.shape),
+        "style_shape": list(style.shape),
+        "n_regions": int(content_masks.shape[0]) if use_mask else 0,
+    }
     resume = ckpt.load_meta(cfg.checkpoint_dir)
+    if resume is not None:
+        ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
+        if resume["scale_index"] >= cfg.levels:
+            raise ValueError(
+                f"Checkpoint scale_index {resume['scale_index']} is out of "
+                f"range for levels={cfg.levels} — config mismatch with the "
+                "saved run. Delete the checkpoint directory to start fresh."
+            )
 
     alpha = cfg.initial_alpha()
     stylized = None
+    final_u8 = None
     info: Dict = {"scales": []}
     t_total = time.perf_counter()
 
@@ -286,35 +384,30 @@ def stylize_single(
         t_scale = time.perf_counter()
         key, k_style, k_run = jax.random.split(jax.random.fold_in(key, i), 3)
 
+        if resume is not None and i < resume["scale_index"]:
+            # this scale completed in the interrupted run; only its final
+            # pyramid matters, and that lives in the checkpointed scale —
+            # skip all per-scale setup/compute for it.
+            alpha /= 2.0
+            continue
+
         # init rules, run_strotss.py:74-89
         chw = resize_max_hw(content.shape[1], content.shape[2], scl)
         shw = resize_max_hw(style.shape[1], style.shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
-        scl_content, scl_style, pyramid = _scale_init_j(
-            mode, chw, shw, cfg.pyramid_levels, content, style,
-            stylized if stylized is not None else content,
-        )
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
+        lr_t = jnp.asarray(lr, jnp.float32)
 
-        content_feats = _extract_j(spec, vgg_params, scl_content)
-        style_feats = _extract_j(spec, vgg_params, scl_style)
-
-        if use_mask:
-            cmasks = _prepare_masks_j(content_masks, chw)
-            smasks = _prepare_masks_j(style_masks, shw)
-            style_targets = _style_targets_j(spec, k_style, style_feats, smasks)
-        else:
-            cmasks = None
-            style_targets = _style_targets_j(spec, k_style, style_feats)
-
-        opt_state = init_opt_state(lr, pyramid)
+        pyramid, content_feats, style_targets, cmasks, opt_state = (
+            prepare_scale(
+                spec, mode, chw, shw, cfg.pyramid_levels, vgg_params,
+                content, style,
+                stylized if stylized is not None else content,
+                k_style, lr_t, content_masks, style_masks,
+            )
+        )
 
         done = 0
-        if resume is not None and i < resume["scale_index"]:
-            # this scale completed in the interrupted run; only its final
-            # pyramid matters, and that lives in the checkpointed scale.
-            alpha /= 2.0
-            continue
         if resume is not None and i == resume["scale_index"]:
             pyramid, opt_state, k_run = ckpt.restore_state(
                 cfg.checkpoint_dir, (pyramid, opt_state, k_run)
@@ -324,44 +417,58 @@ def stylize_single(
             resume = None
 
         alpha_t = jnp.asarray(alpha, jnp.float32)
-        lr_t = jnp.asarray(lr, jnp.float32)
 
         last: Dict[str, float] = {}
+        curve: List[np.ndarray] = []
+        img_u8 = None
         for n in chunk_plan(cfg.max_iter - done, cfg.log_every):
-            pyramid, opt_state, k_run, metrics = run_chunk(
+            pyramid, opt_state, k_run, metrics, stylized, img_u8 = run_chunk(
                 spec, n, vgg_params, content_feats, style_targets, cmasks,
                 pyramid, opt_state, k_run, alpha_t, lr_t,
             )
-            done += n
             if cfg.checkpoint_dir:
                 ckpt.save_state(
-                    cfg.checkpoint_dir, i, done, alpha,
-                    pyramid, opt_state, k_run,
+                    cfg.checkpoint_dir, i, done + n, alpha,
+                    pyramid, opt_state, k_run, fingerprint=fingerprint,
                 )
-            m = jax.device_get(metrics[-1])
-            last = {"loss": float(m[0]), "loss_c": float(m[1]),
-                    "loss_s": float(m[2])}
+            mblock = np.asarray(jax.device_get(metrics))  # (n, 3)
+            curve.append(mblock)
             if progress_cb is not None:
-                progress_cb(scl, done, cfg.max_iter, last)
+                for j in range(n):
+                    progress_cb(
+                        scl, done + j + 1, cfg.max_iter,
+                        {"loss": float(mblock[j, 0]),
+                         "loss_c": float(mblock[j, 1]),
+                         "loss_s": float(mblock[j, 2])},
+                    )
+            done += n
+            last = {"loss": float(mblock[-1, 0]),
+                    "loss_c": float(mblock[-1, 1]),
+                    "loss_s": float(mblock[-1, 2])}
             if (
                 snapshot_cb is not None
                 and cfg.save_every > 0
                 and (done % cfg.save_every == 0 or done == cfg.max_iter)
             ):
-                snapshot_cb(scl, done, _postprocess_j(pyramid))
+                snapshot_cb(scl, done, img_u8)
 
-        stylized = _fold_j(pyramid)
+        if img_u8 is None:
+            # zero steps ran at this scale (resume at a completed boundary)
+            stylized = _fold_j(pyramid)
+            img_u8 = _postprocess_j(pyramid)
         jax.block_until_ready(stylized)
+        final_u8 = img_u8
         info["scales"].append(
             {
                 "scale": scl,
                 "alpha": alpha,
                 "seconds": time.perf_counter() - t_scale,
+                "curve": np.concatenate(curve, axis=0)
+                if curve else np.zeros((0, 3), np.float32),
                 **last,
             }
         )
         alpha /= 2.0
 
-    final = _postprocess_j(pyramid)
     info["seconds"] = time.perf_counter() - t_total
-    return final, info
+    return final_u8, info

@@ -8,13 +8,16 @@ pytree, saved atomically at every chunk boundary; an interrupted run
 resumes bit-exactly (validated in tests/test_checkpoint.py).
 
 Format: ``state.npz`` with order-flattened leaves + ``state.json`` with the
-scalar metadata and the pytree structure hash. Restores fill a template
-pytree built by re-running the (deterministic) init path, so no pickle is
-involved.
+scalar metadata, a run *fingerprint* (config fields + input shapes), and a
+pytree *structure digest* (treedef + per-leaf shape/dtype, hashed). Restores
+fill a template pytree built by re-running the (deterministic) init path, so
+no pickle is involved; a fingerprint or structure mismatch is rejected with
+a clean error instead of silently restoring garbage.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -32,6 +35,42 @@ def _flatten(tree) -> list:
     return jax.tree_util.tree_leaves(tree)
 
 
+def structure_digest(tree) -> str:
+    """Stable hash of the pytree structure + every leaf's shape/dtype.
+
+    Guards against restoring into a template with the same *leaf count* but
+    different shapes/treedef (e.g. a changed tap set with equal channel
+    totals).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    desc = str(treedef) + "|" + ";".join(
+        f"{tuple(np.shape(l))}:{np.asarray(l).dtype}" for l in leaves
+    )
+    return hashlib.sha256(desc.encode()).hexdigest()[:16]
+
+
+def check_fingerprint(
+    meta: Dict[str, Any], fingerprint: Dict[str, Any], directory: str
+) -> None:
+    """Refuse to resume when the run configuration changed.
+
+    ``fingerprint`` is a JSON-compatible dict of everything that determines
+    the optimization trajectory (config fields, input shapes, step spec).
+    """
+    saved = meta.get("fingerprint")
+    if saved != fingerprint:
+        diffs = sorted(
+            k
+            for k in set(saved or {}) | set(fingerprint)
+            if (saved or {}).get(k) != fingerprint.get(k)
+        )
+        raise ValueError(
+            f"Checkpoint at {directory} was written by a different run "
+            f"configuration (mismatched: {diffs or 'entire fingerprint'}). "
+            "Delete the checkpoint directory to start fresh."
+        )
+
+
 def save_state(
     directory: str,
     scale_index: int,
@@ -40,16 +79,20 @@ def save_state(
     pyramid,
     opt_state,
     key,
+    fingerprint: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Atomically persist the per-scale optimization state."""
     os.makedirs(directory, exist_ok=True)
-    leaves = _flatten((pyramid, opt_state, key))
+    state = (pyramid, opt_state, key)
+    leaves = _flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     meta = {
         "scale_index": int(scale_index),
         "done_steps": int(done_steps),
         "alpha": float(alpha),
         "n_leaves": len(leaves),
+        "structure": structure_digest(state),
+        "fingerprint": fingerprint,
     }
     # suffix must end in .npz or np.savez silently writes to "<tmp>.npz"
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp.npz")
@@ -77,7 +120,12 @@ def load_meta(directory: Optional[str]) -> Optional[Dict[str, Any]]:
 
 
 def restore_state(directory: str, template: Tuple) -> Tuple:
-    """Fill ``template = (pyramid, opt_state, key)`` with saved leaves."""
+    """Fill ``template = (pyramid, opt_state, key)`` with saved leaves.
+
+    The saved structure digest must match the template's — a same-leaf-count
+    but different-shape/treedef template (changed taps, pyramid depth...)
+    raises instead of restoring garbage.
+    """
     path = os.path.join(directory, _STATE_NPZ)
     try:
         data = np.load(path)
@@ -86,6 +134,16 @@ def restore_state(directory: str, template: Tuple) -> Tuple:
             f"Corrupt or unreadable checkpoint at {path}: {e}. "
             "Delete the checkpoint directory to restart from scratch."
         ) from e
+    meta = load_meta(directory)
+    if meta is not None and "structure" in meta:
+        want = structure_digest(template)
+        if meta["structure"] != want:
+            raise ValueError(
+                f"Checkpoint at {directory} has pytree structure "
+                f"{meta['structure']} but this run expects {want} — "
+                "config/shape mismatch with the saved run. Delete the "
+                "checkpoint directory to restart from scratch."
+            )
     leaves, treedef = jax.tree_util.tree_flatten(template)
     saved = [data[f"leaf_{i}"] for i in range(len(data.files))]
     if len(saved) != len(leaves):

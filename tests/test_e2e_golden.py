@@ -39,10 +39,16 @@ def test_e2e_recorded_loss():
         os.path.dirname(__file__), "golden", "e2e_loss.json"
     )
     if not os.path.exists(golden_path):
-        # first run records the golden (committed to the repo)
-        with open(golden_path, "w") as f:
-            json.dump({"final_loss": loss}, f)
-        return
+        # regeneration must be explicit: a missing/deleted fixture is a
+        # FAILURE, or the test could never fail on a corrupted checkout
+        if os.environ.get("STROTSS_REGEN_GOLDEN") == "1":
+            with open(golden_path, "w") as f:
+                json.dump({"final_loss": loss}, f)
+            return
+        raise AssertionError(
+            f"golden fixture missing: {golden_path}; re-record it "
+            "explicitly with STROTSS_REGEN_GOLDEN=1"
+        )
     with open(golden_path) as f:
         golden = json.load(f)["final_loss"]
     assert abs(loss - golden) <= 0.02 * abs(golden) + 1e-4, (

@@ -113,3 +113,80 @@ def test_parity_vs_tf_keras(rng):
             np.asarray(got), want, atol=2e-4,
             err_msg=f"activation mismatch at {name}",
         )
+
+
+@pytest.mark.slow
+def test_load_h5_keras3_layout(rng, tmp_path):
+    """_load_h5 parses a real Keras-3 ``.weights.h5`` (VERDICT r1 item 3b).
+
+    Keras 3 names conv layers ``conv2d``..``conv2d_12`` — h5 visits
+    ``conv2d_10`` *before* ``conv2d_2``, so this also locks in the
+    digit-aware ordering fix.
+    """
+    tf = pytest.importorskip("tensorflow")
+
+    keras_vgg = tf.keras.applications.VGG16(include_top=False, weights=None)
+    path = str(tmp_path / "vgg16_rand.weights.h5")
+    keras_vgg.save_weights(path)
+
+    from strotss_tpu.models.weights import _load_h5, params_from_keras_model
+
+    want = params_from_keras_model(keras_vgg, "16")
+    got = _load_h5(path, "16")
+    assert got is not None, "Keras-3 .weights.h5 failed to convert"
+    for name in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["kernel"]), np.asarray(want[name]["kernel"]),
+            err_msg=f"kernel mismatch at {name}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["bias"]), np.asarray(want[name]["bias"]),
+            err_msg=f"bias mismatch at {name}",
+        )
+
+
+def test_load_h5_keras2_layout(rng, tmp_path):
+    """_load_h5 parses the Keras-2 ``model_weights`` layout — the layout of
+    the reference's ``vgg16_norm.h5`` (``nn/model.py:31-33``)."""
+    h5py = pytest.importorskip("h5py")
+
+    from strotss_tpu.models.vgg import vgg_layer_channels, vgg_layer_names
+    from strotss_tpu.models.weights import _load_h5
+
+    path = str(tmp_path / "vgg16_norm_style.h5")
+    chans = vgg_layer_channels("16")
+    want = {}
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights")
+        cin = 3
+        for name in vgg_layer_names("16"):
+            cout = chans[name]
+            g = root.create_group(name).create_group(name)
+            k = rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+            b = rng.standard_normal((cout,)).astype(np.float32)
+            g.create_dataset("kernel:0", data=k)
+            g.create_dataset("bias:0", data=b)
+            want[name] = (k, b)
+            cin = cout
+
+    got = _load_h5(path, "16")
+    assert got is not None
+    for name, (k, b) in want.items():
+        np.testing.assert_array_equal(np.asarray(got[name]["kernel"]), k)
+        np.testing.assert_array_equal(np.asarray(got[name]["bias"]), b)
+
+
+def test_load_h5_rejects_wrong_shapes(tmp_path):
+    """A same-layer-count file with a wrong channel chain is rejected."""
+    h5py = pytest.importorskip("h5py")
+
+    from strotss_tpu.models.vgg import vgg_layer_names
+    from strotss_tpu.models.weights import _load_h5
+
+    path = str(tmp_path / "bad.h5")
+    with h5py.File(path, "w") as f:
+        for i, name in enumerate(vgg_layer_names("16")):
+            g = f.create_group(name)
+            g.create_dataset("kernel:0", data=np.zeros((3, 3, 8, 8), np.float32))
+            g.create_dataset("bias:0", data=np.zeros((8,), np.float32))
+    assert _load_h5(path, "16") is None
