@@ -22,11 +22,14 @@ def stylize(
     key: Optional[jax.Array] = None,
     progress_cb=None,
     snapshot_cb=None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Stylize ``content`` with ``style`` (both (1,H,W,3) float in [0,1]).
 
     Returns the uint8 HWC stylized image and an info dict with per-scale
     losses and timings. See :class:`strotss_tpu.StrotssConfig` for knobs.
+    ``mesh``: optional ``jax.sharding.Mesh`` with a 'sample' axis, used
+    when ``cfg.shard_samples`` partitions the transport losses.
     """
     cfg = cfg or StrotssConfig()
     if vgg_params is None:
@@ -41,4 +44,5 @@ def stylize(
         key=key,
         progress_cb=progress_cb,
         snapshot_cb=snapshot_cb,
+        mesh=mesh,
     )

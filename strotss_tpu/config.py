@@ -66,6 +66,11 @@ class StrotssConfig:
     use_sinkhorn: bool = False
     sinkhorn_lambda: float = 10.0
     sinkhorn_iters: int = 30
+    #: shard the feature-sample axis of the transport losses over the
+    #: 'sample' axis of the mesh passed to stylize/stylize_batch — the
+    #: N² distance matrices are then partitioned across chips by XLA
+    #: (for high-res / large-sample_size configs).
+    shard_samples: bool = False
 
     def scale_sizes(self) -> list:
         """The coarse-to-fine long-edge schedule: 64, 128, 256, 512, ...

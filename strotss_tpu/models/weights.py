@@ -10,7 +10,9 @@ resolved in order:
 2. The local npz cache ``~/.cache/strotss_tpu/vgg{16,19}_{norm,imagenet}.npz``.
 3. Any matching Keras ``.h5`` under ``~/.keras/models`` / ``~/.keras/datasets``
    (converted once, then cached as npz).
-4. A network download via ``tf.keras`` if TensorFlow and egress are available.
+4. A network download if egress is available: the reference's normalized
+   ``vgg{16,19}_norm.h5`` in default mode (plain urllib, bounded timeout),
+   or the stock Keras ImageNet weights via ``tf.keras`` in keras mode.
 5. **Deterministic random init** (He-normal, fixed seed) with a loud warning —
    the pipeline stays fully functional and benchmarkable; stylization
    quality then reflects random features rather than ImageNet features.
@@ -172,6 +174,49 @@ def random_params(vgg_type: str = "16", seed: int = 0) -> Params:
     return params
 
 
+# the reference's normalized-VGG weight host (nn/model.py:6,31-33)
+_NORM_WEIGHT_URL = "https://ppza53893.github.io/box/weights/vgg{}_norm.h5"
+
+
+def _try_norm_download(vgg_type: str) -> Optional[Params]:
+    """Fetch the reference's ``vgg{16,19}_norm.h5`` when egress exists.
+
+    The reference downloads this file on every default-mode run via
+    ``tf.keras.utils.get_file`` (``/root/reference/nn/model.py:31-33``);
+    here it is fetched once with a bounded timeout (offline boxes fail
+    fast and fall through to the other sources), converted with
+    ``_load_h5`` and cached as npz.
+    """
+    import urllib.request
+
+    url = _NORM_WEIGHT_URL.format(vgg_type)
+    dst = os.path.join(_CACHE_DIR, f"vgg{vgg_type}_norm.h5")
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        with urllib.request.urlopen(url, timeout=15) as r, open(
+            dst + ".part", "wb"
+        ) as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(dst + ".part", dst)
+    except Exception as e:  # no egress — expected in this environment
+        logger.info(
+            f"Normalized VGG weights unavailable from {url} "
+            f"({type(e).__name__})."
+        )
+        return None
+    finally:
+        if os.path.exists(dst + ".part"):
+            os.remove(dst + ".part")
+    p = _load_h5(dst, vgg_type)
+    if p is None:
+        logger.warning(f"Downloaded {dst} but could not parse it.")
+    return p
+
+
 def _try_keras_download(vgg_type: str) -> Optional[Params]:
     try:
         import tensorflow as tf  # noqa: F401
@@ -228,11 +273,17 @@ def load_vgg_params(vgg_type: str = "16", use_keras_weight: bool = False) -> Par
             save_npz(p, cache)
             return p
 
-    if use_keras_weight:
-        p = _try_keras_download(vgg_type)
-        if p is not None:
-            save_npz(p, cache)
-            return p
+    # network download, matching the reference's two weight modes: default
+    # mode fetches the normalized STROTSS weights (nn/model.py:31-33),
+    # keras mode the stock ImageNet weights (nn/model.py:36-38)
+    p = (
+        _try_keras_download(vgg_type)
+        if use_keras_weight
+        else _try_norm_download(vgg_type)
+    )
+    if p is not None:
+        save_npz(p, cache)
+        return p
 
     logger.warning(
         f"No pretrained VGG{vgg_type} weights found (offline?). Falling back "

@@ -171,13 +171,14 @@ def relaxed_emd(
     return jnp.maximum(r_x, r_y)
 
 
-@partial(jax.jit, static_argnames=("distance", "n_iter"))
+@partial(jax.jit, static_argnames=("distance", "n_iter", "impl"))
 def sinkhorn(
     x: jnp.ndarray,
     y: jnp.ndarray,
     distance: str = "cosine",
     lam: float = 10.0,
     n_iter: int = 30,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Entropic-regularized full OT cost via Sinkhorn-Knopp iterations.
 
@@ -187,8 +188,22 @@ def sinkhorn(
     ``T = diag(u) K diag(v)``. Runs in the **log domain** (logsumexp
     updates), so it stays exact for large λ where ``exp(-λM)`` underflows —
     equivalent to the scaling form in exact arithmetic.
+
+    ``impl='pallas'`` streams the iterations through tiled flash-LSE passes
+    with **no N x M buffer at all** (``ops/kernels/sinkhorn.py``; gradient =
+    converged-plan Danskin estimator). ``'auto'`` keeps the materialized
+    XLA path while the cost matrix amortizes well in HBM (it is
+    iteration-invariant) and switches to the streamed kernel at the sample
+    counts where the N x M buffer + backward copies start to own the chip.
     """
     x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
+    if impl == "auto":
+        impl = "pallas" if x.shape[0] * y.shape[0] > 12288 ** 2 else "xla"
+    if impl == "pallas":
+        from strotss_tpu.ops.kernels.sinkhorn import sinkhorn_streamed
+
+        interpret = jax.default_backend() != "tpu"
+        return sinkhorn_streamed(x, y, distance, lam, n_iter, interpret)
     m = dist_metrics[distance](x, y)
     n, mm = m.shape
     log_k = -lam * m
@@ -230,10 +245,13 @@ def style_loss(
     inv_alpha = 1.0 / jnp.maximum(alpha, 1.0)
     l_m = moment_matching(target, prediction)
     if use_sinkhorn:
-        l_t = sinkhorn(target, prediction, "cosine", sinkhorn_lambda, sinkhorn_iters)
+        # remd_impl carries the same gating contract (masked vmap and
+        # sample-sharded paths force 'xla'; 'auto' picks by problem size)
+        l_t = sinkhorn(target, prediction, "cosine", sinkhorn_lambda,
+                       sinkhorn_iters, impl=remd_impl)
         l_p = sinkhorn(
             rgb_to_yuv(_f32(target)), rgb_to_yuv(_f32(prediction)),
-            "both", sinkhorn_lambda, sinkhorn_iters,
+            "both", sinkhorn_lambda, sinkhorn_iters, impl=remd_impl,
         )
     else:
         l_t = relaxed_emd(target, prediction, "cosine", impl=remd_impl)

@@ -7,6 +7,19 @@ over the pair axis, and shard that axis over the mesh's ``data`` axis —
 XLA then runs B independent VGG/loss pipelines with zero per-step
 communication (losses are per-pair; no cross-pair reduction exists).
 
+Composition (round-2 capabilities):
+
+- **masked x batched**: per-pair region mask stacks (B, K, H, W, 1) padded
+  to a common K with ``region_valid`` (B, K) 0/1 weights — the masked train
+  step of ``run_strotss.py:97-125`` vmapped over pairs, loss averaged over
+  each pair's *valid* regions only (SURVEY.md §7.7-7.8 static-shape plan).
+- **checkpoint/resume**: same chunk-boundary fingerprinted checkpoints as
+  the single-pair solver.
+- **2-D ('data','sample') meshes**: with ``cfg.shard_samples`` the sampled
+  feature matrices additionally get 'sample'-axis sharding constraints, so
+  each pair's N² transport losses are partitioned over the sample axis
+  while pairs spread over 'data' (GSPMD inserts the collectives).
+
 All images in a batch share one shape bucket (pad/resize on the host
 first). The chunk runner is one module-level jit (static spec + mesh), so
 repeated batches of the same bucket reuse the compile cache.
@@ -16,25 +29,25 @@ from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from strotss_tpu.config import StrotssConfig
 from strotss_tpu.models.weights import load_vgg_params
 from strotss_tpu.ops.image import fold_laplacian_pyramid, postprocess
-from strotss_tpu.ops.losses import content_loss, style_loss
-from strotss_tpu.ops.sampling import sample_paired, sample_style
+from strotss_tpu.ops.sampling import prepare_mask, sample_style
 from strotss_tpu.solve import (
     StepSpec,
-    _scale_init_j,
+    _scale_seed,
+    _step_losses,
+    chunk_plan,
     extract_hypercolumn,
     make_optimizer,
-    chunk_plan,
-    init_opt_state,
     resize_max_hw,
     spec_from_config,
 )
@@ -49,12 +62,72 @@ def _constrain(tree, mesh: Optional[Mesh], spec: P):
     )
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def _style_targets_batch_j(spec: StepSpec, key, style_feats):
-    batch = style_feats[0].shape[0]
-    return jax.vmap(
-        lambda f, k: sample_style(k, f, spec.sample_size)
-    )(style_feats, jax.random.split(key, batch))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "mode", "chw", "shw", "levels", "mesh"),
+)
+def prepare_scale_batch(
+    spec: StepSpec,
+    mode: str,
+    chw,
+    shw,
+    levels: int,
+    mesh: Optional[Mesh],
+    vgg_params,
+    contents,
+    styles,
+    prev,
+    k_style,
+    lr,
+    content_masks=None,
+    style_masks=None,
+):
+    """Batched analogue of ``solve.prepare_scale``: the whole per-scale
+    setup (resize, pyramid seed, both VGG extractions, style targets, mask
+    prep, optimizer init) as ONE jitted program, vmapped over the pair axis
+    and sharded over the mesh's 'data' axis."""
+    batch = contents.shape[0]
+    contents = _constrain(contents, mesh, P("data"))
+    styles = _constrain(styles, mesh, P("data"))
+
+    scl_c, scl_s, pyramid = _scale_seed(
+        mode, chw, shw, levels, contents, styles, prev
+    )
+    pyramid = _constrain(pyramid, mesh, P("data"))
+    content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
+    style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
+    content_feats = _constrain(content_feats, mesh, P("data"))
+    style_feats = _constrain(style_feats, mesh, P("data"))
+
+    keys = jax.random.split(k_style, batch)
+    if style_masks is not None:
+        # (B, K, H, W, 1) -> per-pair (K, h, w) validity maps at scale res
+        smasks = jax.vmap(
+            jax.vmap(lambda m: prepare_mask(m, shw))
+        )(style_masks)
+
+        def pair_targets(feats, masks, k):
+            kk = jax.random.split(k, masks.shape[0])
+            return jax.vmap(
+                lambda m, k1: sample_style(k1, feats, spec.sample_size, m)
+            )(masks, kk)
+
+        style_targets = jax.vmap(pair_targets)(style_feats, smasks, keys)
+    else:
+        style_targets = jax.vmap(
+            lambda f, k: sample_style(k, f, spec.sample_size)
+        )(style_feats, keys)
+    style_targets = _constrain(style_targets, mesh, P("data"))
+
+    cmasks = None
+    if content_masks is not None:
+        cmasks = jax.vmap(
+            jax.vmap(lambda m: prepare_mask(m, chw))
+        )(content_masks)
+        cmasks = _constrain(cmasks, mesh, P("data"))
+
+    opt_state = make_optimizer(lr).init(pyramid)
+    return pyramid, content_feats, style_targets, cmasks, opt_state
 
 
 @partial(
@@ -69,57 +142,65 @@ def run_chunk_batch(
     vgg_params,
     content_feats,
     style_targets,
+    content_masks,
+    region_valid,
     pyramid,
     opt_state,
     key,
     alpha,
     lr,
 ):
-    """``n_steps`` steps of the batched optimization as one on-device scan."""
+    """``n_steps`` steps of the batched optimization as one on-device scan.
+
+    Per-pair losses come from ``solve._step_losses`` (the exact single-pair
+    step semantics: masked region vmap, validity weights, optional
+    'sample'-axis sharding constraints), vmapped over the pair axis.
+    Returns per-step (n, B, 3) metrics plus the folded images and their
+    uint8 postprocess (no extra compiled programs per scale).
+    """
     opt = make_optimizer(lr)
     batch = style_targets.shape[0]
-    denom = 2.0 + alpha + 1.0 / jnp.maximum(alpha, 1.0)
 
-    def per_pair(cf, pf, target, k):
-        c_feat, p_feat = sample_paired(k, cf, pf, spec.sample_size)
-        lc = content_loss(c_feat, p_feat)
-        ls = style_loss(
-            target,
-            p_feat,
-            alpha,
-            use_sinkhorn=spec.use_sinkhorn,
-            sinkhorn_lambda=spec.sinkhorn_lambda,
-            sinkhorn_iters=spec.sinkhorn_iters,
-            remd_impl="xla",  # vmapped: XLA impl composes with batching
+    def per_pair(cf, pf, target, cmask, valid, k):
+        loss, (lc, ls) = _step_losses(
+            spec, cf, pf, target, cmask, alpha, k,
+            region_valid=valid,
+            mesh=mesh if spec.shard_samples else None,
         )
-        return lc, ls
+        return loss, lc, ls
 
     def loss_fn(pyr, k):
         img = fold_laplacian_pyramid(pyr)
         img = _constrain(img, mesh, P("data"))
         pred = extract_hypercolumn(spec, vgg_params, img)
         keys = jax.random.split(k, batch)
-        lcs, lss = jax.vmap(per_pair, in_axes=(0, 0, 0, 0))(
-            content_feats, pred, style_targets, keys
+        in_axes = (0, 0, 0,
+                   None if content_masks is None else 0,
+                   None if region_valid is None else 0,
+                   0)
+        losses, lcs, lss = jax.vmap(per_pair, in_axes=in_axes)(
+            content_feats, pred, style_targets, content_masks, region_valid,
+            keys,
         )
-        loss = jnp.mean((alpha * lcs + lss) / denom)
-        return loss, (jnp.mean(lcs), jnp.mean(lss))
+        return jnp.mean(losses), jnp.stack([losses, lcs, lss], axis=-1)
 
     def step(carry, _):
         pyr, ostate, k = carry
         k, k_step = jax.random.split(k)
-        (loss, (lc, ls)), grads = jax.value_and_grad(
+        (_, per_pair_metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(pyr, k_step)
         updates, ostate = opt.update(grads, ostate)
         pyr = optax.apply_updates(pyr, updates)
         pyr = _constrain(pyr, mesh, P("data"))
-        return (pyr, ostate, k), jnp.stack([loss, lc, ls])
+        return (pyr, ostate, k), per_pair_metrics
 
     (pyramid, opt_state, key), metrics = jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
     )
-    return pyramid, opt_state, key, metrics
+    imgs = fold_laplacian_pyramid(pyramid)
+    imgs_u8 = jax.vmap(lambda im: postprocess(im[None]))(imgs)
+    return pyramid, opt_state, key, metrics, imgs, imgs_u8
 
 
 def stylize_batch(
@@ -128,13 +209,20 @@ def stylize_batch(
     cfg: Optional[StrotssConfig] = None,
     vgg_params=None,
     mesh: Optional[Mesh] = None,
+    content_masks: Optional[jnp.ndarray] = None,
+    style_masks: Optional[jnp.ndarray] = None,
+    region_valid: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     progress_cb=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Coarse-to-fine stylization of B pairs at once.
 
     ``contents``/``styles``: (B, H, W, 3) float [0,1], one shape bucket.
-    With ``mesh``, the pair axis is sharded over the mesh's ``data`` axis.
+    ``content_masks``/``style_masks``: optional (B, K, H, W, 1) region
+    stacks, padded to a common K with all-zero masks; ``region_valid``
+    (B, K) marks real regions (defaults to all-valid). With ``mesh``, the
+    pair axis is sharded over the mesh's ``data`` axis (and, under
+    ``cfg.shard_samples``, transport losses over its ``sample`` axis).
     Returns ((B, H', W', 3) uint8, info).
     """
     cfg = cfg or StrotssConfig()
@@ -142,18 +230,56 @@ def stylize_batch(
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
-    spec = spec_from_config(cfg)
+    use_mask = content_masks is not None
+    if use_mask and style_masks is None:
+        raise ValueError("content_masks given without style_masks")
+    if use_mask and region_valid is None:
+        region_valid = jnp.ones(content_masks.shape[:2], jnp.float32)
+    spec = spec_from_config(cfg, masked=use_mask)
 
-    def shard(x):
-        if mesh is None:
+    from strotss_tpu.ops.image import resize_max
+
+    contents = resize_max(contents, cfg.max_size)
+    styles = resize_max(styles, cfg.max_size)
+
+    def shard(x, pspec=P("data")):
+        if mesh is None or x is None:
             return x
-        return jax.device_put(x, NamedSharding(mesh, P("data")))
+        return jax.device_put(x, NamedSharding(mesh, pspec))
 
     contents = shard(contents)
     styles = shard(styles)
+    content_masks = shard(content_masks)
+    style_masks = shard(style_masks)
+    region_valid = shard(region_valid)
+
+    from strotss_tpu.utils import checkpoint as ckpt
+
+    fingerprint = {
+        "lr": cfg.lr,
+        "levels": cfg.levels,
+        "max_iter": cfg.max_iter,
+        "alpha": cfg.alpha,
+        "pyramid_levels": cfg.pyramid_levels,
+        "seed": cfg.seed,
+        "spec": [list(v) if isinstance(v, tuple) else v for v in spec],
+        "content_shape": list(contents.shape),
+        "style_shape": list(styles.shape),
+        "n_regions": int(content_masks.shape[1]) if use_mask else 0,
+    }
+    resume = ckpt.load_meta(cfg.checkpoint_dir)
+    if resume is not None:
+        ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
+        if resume["scale_index"] >= cfg.levels:
+            raise ValueError(
+                f"Checkpoint scale_index {resume['scale_index']} out of "
+                f"range for levels={cfg.levels}; delete the checkpoint "
+                "directory to start fresh."
+            )
 
     alpha = cfg.initial_alpha()
     stylized = None
+    final_u8 = None
     info: Dict = {"scales": [], "batch": int(contents.shape[0])}
     t_total = time.perf_counter()
 
@@ -161,46 +287,100 @@ def stylize_batch(
         t_scale = time.perf_counter()
         key, k_style, k_run = jax.random.split(jax.random.fold_in(key, i), 3)
 
+        if resume is not None and i < resume["scale_index"]:
+            alpha /= 2.0
+            continue
+
         chw = resize_max_hw(contents.shape[1], contents.shape[2], scl)
         shw = resize_max_hw(styles.shape[1], styles.shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
-        scl_content, scl_style, pyramid = _scale_init_j(
-            mode, chw, shw, cfg.pyramid_levels, contents, styles,
-            stylized if stylized is not None else contents,
-        )
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
-
-        from strotss_tpu.solve import _extract_j
-
-        content_feats = _extract_j(spec, vgg_params, scl_content)
-        style_feats = _extract_j(spec, vgg_params, scl_style)
-        style_targets = _style_targets_batch_j(spec, k_style, style_feats)
-
-        opt_state = init_opt_state(lr, pyramid)
-        alpha_t = jnp.asarray(alpha, jnp.float32)
         lr_t = jnp.asarray(lr, jnp.float32)
 
-        done = 0
-        last: Dict[str, float] = {}
-        for n in chunk_plan(cfg.max_iter, cfg.log_every):
-            pyramid, opt_state, k_run, metrics = run_chunk_batch(
-                spec, n, mesh, vgg_params, content_feats, style_targets,
-                pyramid, opt_state, k_run, alpha_t, lr_t,
+        pyramid, content_feats, style_targets, cmasks, opt_state = (
+            prepare_scale_batch(
+                spec, mode, chw, shw, cfg.pyramid_levels, mesh, vgg_params,
+                contents, styles,
+                stylized if stylized is not None else contents,
+                k_style, lr_t, content_masks, style_masks,
             )
-            done += n
-            m = jax.device_get(metrics[-1])
-            last = {"loss": float(m[0]), "loss_c": float(m[1]),
-                    "loss_s": float(m[2])}
-            if progress_cb is not None:
-                progress_cb(scl, done, cfg.max_iter, last)
+        )
 
-        stylized = fold_laplacian_pyramid(pyramid)
+        done = 0
+        if resume is not None and i == resume["scale_index"]:
+            pyramid, opt_state, k_run = ckpt.restore_state(
+                cfg.checkpoint_dir, (pyramid, opt_state, k_run)
+            )
+            alpha = resume["alpha"]
+            done = min(resume["done_steps"], cfg.max_iter)
+            resume = None
+
+        alpha_t = jnp.asarray(alpha, jnp.float32)
+
+        last: Dict[str, float] = {}
+        curve: List[np.ndarray] = []
+        imgs_u8 = None
+        for n in chunk_plan(cfg.max_iter - done, cfg.log_every):
+            pyramid, opt_state, k_run, metrics, stylized, imgs_u8 = (
+                run_chunk_batch(
+                    spec, n, mesh, vgg_params, content_feats, style_targets,
+                    cmasks, region_valid, pyramid, opt_state, k_run,
+                    alpha_t, lr_t,
+                )
+            )
+            if cfg.checkpoint_dir:
+                ckpt.save_state(
+                    cfg.checkpoint_dir, i, done + n, alpha,
+                    pyramid, opt_state, k_run, fingerprint=fingerprint,
+                    extras={"stylized": stylized, "image_u8": imgs_u8},
+                )
+            mblock = np.asarray(jax.device_get(metrics))  # (n, B, 3)
+            curve.append(mblock)
+            batch_mean = mblock.mean(axis=1)  # (n, 3)
+            if progress_cb is not None:
+                for j in range(n):
+                    progress_cb(
+                        scl, done + j + 1, cfg.max_iter,
+                        {"loss": float(batch_mean[j, 0]),
+                         "loss_c": float(batch_mean[j, 1]),
+                         "loss_s": float(batch_mean[j, 2])},
+                    )
+            done += n
+            last = {"loss": float(batch_mean[-1, 0]),
+                    "loss_c": float(batch_mean[-1, 1]),
+                    "loss_s": float(batch_mean[-1, 2])}
+
+        if imgs_u8 is None:
+            # zero steps ran (resume at a completed chunk boundary): reuse
+            # the image arrays the interrupted run saved with the state —
+            # re-deriving them through a different XLA program can round the
+            # odd pixel differently and break bit-exact resume downstream
+            saved = ckpt.restore_extras(cfg.checkpoint_dir) \
+                if cfg.checkpoint_dir else {}
+            if "stylized" in saved and "image_u8" in saved:
+                stylized = jnp.asarray(saved["stylized"])
+                imgs_u8 = jnp.asarray(saved["image_u8"])
+            else:
+                pyramid, opt_state, k_run, _, stylized, imgs_u8 = (
+                    run_chunk_batch(
+                        spec, 0, mesh, vgg_params, content_feats,
+                        style_targets, cmasks, region_valid, pyramid,
+                        opt_state, k_run, alpha_t, lr_t,
+                    )
+                )
         jax.block_until_ready(stylized)
+        final_u8 = imgs_u8
         info["scales"].append(
-            {"scale": scl, "seconds": time.perf_counter() - t_scale, **last}
+            {
+                "scale": scl,
+                "alpha": alpha,
+                "seconds": time.perf_counter() - t_scale,
+                "curve": np.concatenate(curve, axis=0)
+                if curve else np.zeros((0, contents.shape[0], 3), np.float32),
+                **last,
+            }
         )
         alpha /= 2.0
 
-    final = jax.jit(jax.vmap(lambda im: postprocess(im[None])))(stylized)
     info["seconds"] = time.perf_counter() - t_total
-    return final, info
+    return final_u8, info

@@ -65,6 +65,7 @@ class StepSpec(NamedTuple):
     sinkhorn_iters: int
     remd_impl: str
     selfsim_impl: str
+    shard_samples: bool = False
 
 
 def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
@@ -81,8 +82,11 @@ def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
         use_sinkhorn=cfg.use_sinkhorn,
         sinkhorn_lambda=cfg.sinkhorn_lambda,
         sinkhorn_iters=cfg.sinkhorn_iters,
-        remd_impl=impl,
-        selfsim_impl=impl,
+        # sample-axis sharding uses plain-XLA loss impls: GSPMD partitions
+        # them automatically; the Pallas kernels are single-device programs
+        remd_impl="xla" if cfg.shard_samples else impl,
+        selfsim_impl="xla" if cfg.shard_samples else impl,
+        shard_samples=cfg.shard_samples,
     )
 
 
@@ -217,15 +221,45 @@ def prepare_scale(
     return pyramid, content_feats, style_targets, cmasks, opt_state
 
 
+def _shard_samples_constraint(x, mesh, axis: str = "sample"):
+    """Constrain the leading (sample) axis of a sampled feature matrix to a
+    mesh axis; XLA GSPMD then partitions the downstream distance-matrix
+    matmuls / reductions and inserts the ICI collectives itself.
+
+    This is the scaling-book recipe (annotate shardings, let XLA insert
+    collectives) and — unlike an explicit shard_map — composes freely with
+    the batching vmap and the training scan. The handwritten shard_map
+    path in ``strotss_tpu.parallel.transport`` stays as the validated
+    numerical reference for these collectives.
+    """
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*([None] * (x.ndim - 2) + [axis, None]))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def _step_losses(spec, content_feats, pred, style_targets, content_masks,
-                 alpha, key):
-    """(loss, loss_c, loss_s) for one step; alpha is a traced scalar."""
+                 alpha, key, region_valid=None, mesh=None):
+    """(loss, loss_c, loss_s) for one step; alpha is a traced scalar.
+
+    ``region_valid``: optional (K,) 0/1 weights for padded region stacks
+    (batched masked mode pads every pair to MAX_REGIONS; padding regions
+    carry weight 0). ``mesh``: optional mesh with a 'sample' axis — the
+    sampled feature matrices get sharding constraints on the sample axis so
+    the N² transport losses are partitioned across devices.
+    """
     denom = 2.0 + alpha + 1.0 / jnp.maximum(alpha, 1.0)
 
     def one(target, mask, k):
         c_feat, p_feat = sample_paired(
             k, content_feats, pred, spec.sample_size, mask
         )
+        if spec.shard_samples:
+            c_feat = _shard_samples_constraint(c_feat, mesh)
+            p_feat = _shard_samples_constraint(p_feat, mesh)
+            target = _shard_samples_constraint(target, mesh)
         lc = content_loss(c_feat, p_feat, impl=spec.selfsim_impl)
         ls = style_loss(
             target,
@@ -247,13 +281,17 @@ def _step_losses(spec, content_feats, pred, style_targets, content_masks,
     lcs, lss = jax.vmap(one, in_axes=(0, 0, 0))(
         style_targets, content_masks, keys
     )
-    loss = jnp.mean((alpha * lcs + lss) / denom)
-    return loss, (jnp.mean(lcs), jnp.mean(lss))
+    if region_valid is None:
+        w = jnp.full((n_regions,), 1.0 / n_regions, jnp.float32)
+    else:
+        w = region_valid / jnp.maximum(jnp.sum(region_valid), 1.0)
+    loss = jnp.sum(w * (alpha * lcs + lss) / denom)
+    return loss, (jnp.sum(w * lcs), jnp.sum(w * lss))
 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "n_steps"),
+    static_argnames=("spec", "n_steps", "mesh"),
     donate_argnames=("pyramid", "opt_state", "key"),
 )
 def run_chunk(
@@ -268,6 +306,7 @@ def run_chunk(
     key,
     alpha,
     lr,
+    mesh=None,
 ):
     """``n_steps`` optimization steps as one on-device scan.
 
@@ -287,7 +326,8 @@ def run_chunk(
         img = fold_laplacian_pyramid(pyr)
         pred = extract_hypercolumn(spec, vgg_params, img)
         return _step_losses(
-            spec, content_feats, pred, style_targets, content_masks, alpha, k
+            spec, content_feats, pred, style_targets, content_masks, alpha, k,
+            mesh=mesh,
         )
 
     def step(carry, _):
@@ -330,6 +370,7 @@ def stylize_single(
     key: Optional[jax.Array] = None,
     progress_cb: Optional[Callable[[int, int, int, Dict[str, float]], None]] = None,
     snapshot_cb: Optional[Callable[[int, int, jnp.ndarray], None]] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full coarse-to-fine stylization of one (content, style) pair.
 
@@ -339,6 +380,8 @@ def stylize_single(
     the full per-step loss curve). ``progress_cb`` is invoked once per
     optimization step (replayed from each chunk's metric block), matching
     the reference's per-iteration display (``run_strotss.py:148-152``).
+    With ``cfg.shard_samples`` and a ``mesh`` holding a 'sample' axis, the
+    transport losses are partitioned over that axis (see _step_losses).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -349,6 +392,20 @@ def stylize_single(
     style = resize_max(style, cfg.max_size)
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
+
+    if spec.shard_samples and mesh is not None:
+        # place every input on the mesh's devices (replicated); the
+        # 'sample'-axis constraints inside the step then partition the
+        # transport losses without a device-assignment clash
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        put = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.device_put(a, rep), t
+        )
+        content, style, vgg_params = put(content), put(style), put(vgg_params)
+        if use_mask:
+            content_masks, style_masks = put(content_masks), put(style_masks)
 
     from strotss_tpu.utils import checkpoint as ckpt
 
@@ -425,11 +482,13 @@ def stylize_single(
             pyramid, opt_state, k_run, metrics, stylized, img_u8 = run_chunk(
                 spec, n, vgg_params, content_feats, style_targets, cmasks,
                 pyramid, opt_state, k_run, alpha_t, lr_t,
+                mesh=mesh if spec.shard_samples else None,
             )
             if cfg.checkpoint_dir:
                 ckpt.save_state(
                     cfg.checkpoint_dir, i, done + n, alpha,
                     pyramid, opt_state, k_run, fingerprint=fingerprint,
+                    extras={"stylized": stylized, "image_u8": img_u8},
                 )
             mblock = np.asarray(jax.device_get(metrics))  # (n, 3)
             curve.append(mblock)
@@ -453,9 +512,21 @@ def stylize_single(
                 snapshot_cb(scl, done, img_u8)
 
         if img_u8 is None:
-            # zero steps ran at this scale (resume at a completed boundary)
-            stylized = _fold_j(pyramid)
-            img_u8 = _postprocess_j(pyramid)
+            # zero steps ran (resume at a completed chunk boundary): reuse
+            # the image arrays the interrupted run saved with the state —
+            # re-deriving them through a different XLA program can round the
+            # odd pixel differently and break bit-exact resume downstream
+            saved = ckpt.restore_extras(cfg.checkpoint_dir) \
+                if cfg.checkpoint_dir else {}
+            if "stylized" in saved and "image_u8" in saved:
+                stylized = jnp.asarray(saved["stylized"])
+                img_u8 = jnp.asarray(saved["image_u8"])
+            else:
+                pyramid, opt_state, k_run, _, stylized, img_u8 = run_chunk(
+                    spec, 0, vgg_params, content_feats, style_targets, cmasks,
+                    pyramid, opt_state, k_run, alpha_t, lr_t,
+                    mesh=mesh if spec.shard_samples else None,
+                )
         jax.block_until_ready(stylized)
         final_u8 = img_u8
         info["scales"].append(

@@ -80,12 +80,21 @@ def save_state(
     opt_state,
     key,
     fingerprint: Optional[Dict[str, Any]] = None,
+    extras: Optional[Dict[str, Any]] = None,
 ) -> None:
-    """Atomically persist the per-scale optimization state."""
+    """Atomically persist the per-scale optimization state.
+
+    ``extras``: named auxiliary arrays (e.g. the chunk's folded stylized
+    image) — restored via :func:`restore_extras`. Resuming at a *completed*
+    chunk boundary hands the saved image to the next scale verbatim, so the
+    resumed run stays bit-exact even though no step program re-runs.
+    """
     os.makedirs(directory, exist_ok=True)
     state = (pyramid, opt_state, key)
     leaves = _flatten(state)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    for name, v in (extras or {}).items():
+        arrays[f"extra_{name}"] = np.asarray(v)
     meta = {
         "scale_index": int(scale_index),
         "done_steps": int(done_steps),
@@ -107,6 +116,18 @@ def save_state(
     with open(tmp_meta, "w") as f:
         json.dump(meta, f)
     os.replace(tmp_meta, os.path.join(directory, _STATE_META))
+
+
+def restore_extras(directory: str) -> Dict[str, np.ndarray]:
+    """Named auxiliary arrays saved alongside the state (may be empty)."""
+    path = os.path.join(directory, _STATE_NPZ)
+    if not os.path.exists(path):
+        return {}
+    data = np.load(path)
+    return {
+        f[len("extra_"):]: data[f] for f in data.files
+        if f.startswith("extra_")
+    }
 
 
 def load_meta(directory: Optional[str]) -> Optional[Dict[str, Any]]:
@@ -145,7 +166,8 @@ def restore_state(directory: str, template: Tuple) -> Tuple:
                 "checkpoint directory to restart from scratch."
             )
     leaves, treedef = jax.tree_util.tree_flatten(template)
-    saved = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    n_saved = sum(1 for f in data.files if f.startswith("leaf_"))
+    saved = [data[f"leaf_{i}"] for i in range(n_saved)]
     if len(saved) != len(leaves):
         raise ValueError(
             f"checkpoint has {len(saved)} leaves, expected {len(leaves)} — "

@@ -99,3 +99,87 @@ def test_remd_grad_style_like(rng):
         atol=1e-5,
         rtol=1e-4,
     )
+
+
+# --------------------------------------------------------------------------
+# streamed Sinkhorn (flash-LSE tiles, no N x M buffer)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dist", ["cosine", "both"])
+def test_sinkhorn_streamed_matches_xla(rng, dist):
+    """Forward parity with losses.sinkhorn (VERDICT r1 item 8): same
+    Gauss-Seidel iteration, tiles instead of a materialized log_k."""
+    from strotss_tpu.ops.kernels.sinkhorn import sinkhorn_streamed
+
+    x = jnp.asarray(rng.standard_normal((96, 24)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((80, 24)), jnp.float32)
+    want = float(L.sinkhorn(x, y, dist, lam=10.0, n_iter=20))
+    interpret = jax.default_backend() != "tpu"
+    got = float(sinkhorn_streamed(x, y, dist, 10.0, 20, interpret))
+    # interpret mode: 1e-5 criterion; compiled TPU: the flash accumulation
+    # order differs from jax.nn.logsumexp's, drift compounds over iterations
+    rtol = 1e-5 if interpret else 1e-4
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-6)
+
+
+def test_sinkhorn_streamed_grad_matches_frozen_plan(rng):
+    """The streamed VJP == jax.grad of the XLA path with stop_gradient on
+    the whole transport plan (the documented Danskin estimator: dL/dd = T)."""
+    from strotss_tpu.ops.kernels.sinkhorn import sinkhorn_streamed
+
+    x = jnp.asarray(rng.standard_normal((48, 12)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((40, 12)), jnp.float32)
+    lam, iters = 10.0, 25
+
+    def xla_frozen(x_, y_):
+        # reproduce losses.sinkhorn but freeze the plan in the read-out
+        m = L.dist_metrics["cosine"](x_, y_)
+        n, mm = m.shape
+        log_k = -lam * m
+        log_p = jnp.full((n,), -jnp.log(float(n)))
+        log_q = jnp.full((mm,), -jnp.log(float(mm)))
+
+        def body(carry, _):
+            lu, lv = carry
+            lu = log_p - jax.nn.logsumexp(log_k + lv[None, :], axis=1)
+            lv = log_q - jax.nn.logsumexp(log_k + lu[:, None], axis=0)
+            return (lu, lv), None
+
+        (lu, lv), _ = jax.lax.scan(
+            body, (jnp.zeros((n,)), jnp.zeros((mm,))), None, length=iters
+        )
+        t = jax.lax.stop_gradient(jnp.exp(lu[:, None] + log_k + lv[None, :]))
+        return jnp.sum(t * m)
+
+    gx_ref, gy_ref = jax.grad(xla_frozen, argnums=(0, 1))(x, y)
+    interpret = jax.default_backend() != "tpu"
+    gx, gy = jax.grad(
+        lambda a, b: sinkhorn_streamed(a, b, "cosine", lam, iters, interpret),
+        argnums=(0, 1),
+    )(x, y)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sinkhorn_streamed_grad_approximates_unrolled(rng):
+    """At convergence the envelope gradient is a close descent direction to
+    the fully-unrolled gradient (cosine similarity, not exact equality)."""
+    from strotss_tpu.ops.kernels.sinkhorn import sinkhorn_streamed
+
+    x = jnp.asarray(rng.standard_normal((48, 12)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((40, 12)), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    g_unrolled = jax.grad(
+        lambda a: L.sinkhorn(a, y, "cosine", lam=10.0, n_iter=60)
+    )(x)
+    g_env = jax.grad(
+        lambda a: sinkhorn_streamed(a, y, "cosine", 10.0, 60, interpret)
+    )(x)
+    gu = np.asarray(g_unrolled).ravel()
+    ge = np.asarray(g_env).ravel()
+    cos = float(gu @ ge / (np.linalg.norm(gu) * np.linalg.norm(ge)))
+    # measured ~0.946 at these sizes; the residual is the entropy-term
+    # gradient the unrolled loss carries and the plan gradient does not
+    assert cos > 0.9, f"plan grad diverges from unrolled: cos={cos}"

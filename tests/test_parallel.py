@@ -60,3 +60,77 @@ def test_stylize_batch_data_parallel(rng):
     out, info = stylize_batch(contents, styles, cfg, params, mesh=mesh)
     assert out.shape[0] == 8 and out.dtype == jnp.uint8
     assert np.isfinite(info["scales"][0]["loss"])
+
+
+@pytest.mark.slow
+def test_stylize_batch_masked(rng, tmp_path):
+    """masked x batched composition (VERDICT r1 item 4): (B, K, H, W, 1)
+    padded region stacks + validity weights + checkpoint/resume."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.parallel.batch import stylize_batch
+
+    mesh = make_mesh((4,), ("data",), devices=_cpu_devices(4))
+    B, K = 4, 2
+    contents = jnp.asarray(rng.random((B, 40, 40, 3)), jnp.float32)
+    styles = jnp.asarray(rng.random((B, 40, 40, 3)), jnp.float32)
+    cm = np.zeros((B, K, 40, 40, 1), np.float32)
+    sm = np.zeros((B, K, 40, 40, 1), np.float32)
+    cm[:, 0, :, :20], cm[:, 1, :, 20:] = 1.0, 1.0
+    sm[:, 0, :20, :], sm[:, 1, 20:, :] = 1.0, 1.0
+    # pair 0 has only one real region: mark region 1 invalid
+    valid = np.ones((B, K), np.float32)
+    valid[0, 1] = 0.0
+    cfg = StrotssConfig(
+        levels=1, max_iter=2, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    params = random_params("16", 0)
+    out, info = stylize_batch(
+        contents, styles, cfg, params, mesh=mesh,
+        content_masks=jnp.asarray(cm), style_masks=jnp.asarray(sm),
+        region_valid=jnp.asarray(valid),
+    )
+    # levels=1 -> the 64px scale; inputs upscale like the reference's resize
+    assert out.shape == (B, 64, 64, 3) and out.dtype == jnp.uint8
+    assert np.isfinite(info["scales"][0]["loss"])
+    assert info["scales"][0]["curve"].shape == (2, B, 3)
+    # resume from the checkpoint written at the chunk boundary: bit-exact
+    out2, info2 = stylize_batch(
+        contents, styles, cfg, params, mesh=mesh,
+        content_masks=jnp.asarray(cm), style_masks=jnp.asarray(sm),
+        region_valid=jnp.asarray(valid),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+@pytest.mark.slow
+def test_shard_samples_matches_unsharded(rng):
+    """cfg.shard_samples partitions the transport losses over the mesh's
+    'sample' axis (VERDICT r1 item 5); losses must match the single-device
+    run to float tolerance."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.solve import stylize_single
+
+    mesh = make_mesh((1, 8), ("data", "sample"), devices=_cpu_devices(8))
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+
+    def cfg(shard):
+        return StrotssConfig(
+            levels=1, max_iter=3, log_every=3, sample_size=32,
+            compute_dtype="float32", use_pallas=False,
+            taps=("block1_conv1",), shard_samples=shard,
+        )
+
+    img_ref, info_ref = stylize_single(content, style, cfg(False), params)
+    img_sh, info_sh = stylize_single(
+        content, style, cfg(True), params, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        info_sh["scales"][0]["curve"], info_ref["scales"][0]["curve"],
+        rtol=2e-4, atol=1e-5,
+    )
