@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"])
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--log_every", type=int, default=200)
     parser.add_argument("--no_pallas", action="store_true")
     parser.add_argument("--sinkhorn", action="store_true",
                         help="full entropic OT instead of relaxed EMD")

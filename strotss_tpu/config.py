@@ -49,8 +49,12 @@ class StrotssConfig:
     # --- TPU-native knobs (new capabilities) ------------------------------
     #: dtype for the VGG conv path; losses always run in float32.
     compute_dtype: str = "bfloat16"
-    #: steps per jitted scan chunk (host sees progress between chunks).
-    log_every: int = 50
+    #: steps per jitted scan chunk. Default = one chunk per scale (per-step
+    #: metrics are replayed from the chunk's metric block anyway, and every
+    #: extra chunk size is another compiled program — expensive on a
+    #: remote-compile backend). Set lower for finer checkpoint/snapshot
+    #: cadence or mid-scale progress liveness.
+    log_every: int = 200
     #: base PRNG seed (reference nn/rand.py seeds everything to 0).
     seed: int = 0
     #: use the fused Pallas REMD kernel where shapes allow.

@@ -110,18 +110,19 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray
 
 
 def _maxpool(x: jnp.ndarray) -> jnp.ndarray:
-    # Keras MaxPooling2D: 2x2 window, stride 2, VALID padding.
-    # init value must be the plain -inf scalar: lax only recognizes the
-    # max-monoid (and thus registers the differentiable reduce_window_max
-    # primitive) for the literal identity element, not a materialized array.
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    # Keras MaxPooling2D: 2x2 window, stride 2, VALID padding — expressed
+    # as reshape + max over the window axes instead of reduce_window. The
+    # forward is identical; the REASON is the backward: reduce_window's
+    # VJP lowers to select-and-scatter, which is extremely slow on TPU,
+    # while reshape-max differentiates into elementwise VPU ops. The only
+    # gradient difference is on exact ties inside a window (JAX's max VJP
+    # splits the cotangent among ties; select-and-scatter picks one) —
+    # post-ReLU, ties are either zeros (whose gradient the upstream ReLU
+    # mask kills regardless) or measure-zero float coincidences.
+    n, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2, :]
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(x, axis=(2, 4))
 
 
 def vgg_apply(

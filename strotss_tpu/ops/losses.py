@@ -63,32 +63,42 @@ def reshape_2d(x: jnp.ndarray, channel_axis: int = -1) -> jnp.ndarray:
     return x.reshape(-1, x.shape[channel_axis])
 
 
+# Matmul precision contract: 'highest' = exact f32 (6-pass bf16 on the MXU);
+# 'high' = 3-pass bf16 (~1e-6 relative error) — selected by the step spec
+# under bfloat16 features, whose own quantization noise (~1e-3) dwarfs the
+# matmul rounding, for ~2x faster loss matmuls.
 def l2_normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
     """Row-normalize like ``tf.nn.l2_normalize(x, axis=1)`` (eps 1e-12)."""
     sq = jnp.sum(jnp.square(x), axis=1, keepdims=True)
     return x * jax.lax.rsqrt(jnp.maximum(sq, _L2NORM_EPS))
 
 
-def cosine_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def cosine_distance(
+    x: jnp.ndarray, y: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
     """Pairwise cosine distance matrix ``1 - x̂ ŷᵀ`` of shape (N, M)."""
     x, y = _f32(x), _f32(y)
     return 1.0 - jnp.matmul(
-        l2_normalize_rows(x), l2_normalize_rows(y).T, precision="highest"
+        l2_normalize_rows(x), l2_normalize_rows(y).T, precision=precision
     )
 
 
-def l2_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def l2_distance(
+    x: jnp.ndarray, y: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
     """Channel-normalized pairwise L2 distance matrix of shape (N, M)."""
     x, y = _f32(x), _f32(y)
     x_sq = jnp.sum(jnp.square(x), axis=1)[:, None]
     y_sq = jnp.sum(jnp.square(y), axis=1)[None, :]
-    m = x_sq + y_sq - 2.0 * jnp.matmul(x, y.T, precision="highest")
+    m = x_sq + y_sq - 2.0 * jnp.matmul(x, y.T, precision=precision)
     m = jnp.maximum(m, _L2DIST_EPS) / x.shape[1]
     return jnp.sqrt(m)
 
 
-def both_distance(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    return cosine_distance(x, y) + l2_distance(x, y)
+def both_distance(
+    x: jnp.ndarray, y: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
+    return cosine_distance(x, y, precision) + l2_distance(x, y, precision)
 
 
 dist_metrics = {
@@ -98,7 +108,9 @@ dist_metrics = {
 }
 
 
-def moment_matching(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def moment_matching(
+    x: jnp.ndarray, y: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
     """MAE(mean_x, mean_y) + MAE(cov_x, cov_y) with biased covariance.
 
     For the default hypercolumn this is a C x C (~2179²) Gram build — two
@@ -109,13 +121,14 @@ def moment_matching(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     ym = jnp.mean(y, axis=0, keepdims=True)
     cx = x - xm
     cy = y - ym
-    xv = jnp.matmul(cx.T, cx, precision="highest") / x.shape[0]
-    yv = jnp.matmul(cy.T, cy, precision="highest") / y.shape[0]
+    xv = jnp.matmul(cx.T, cx, precision=precision) / x.shape[0]
+    yv = jnp.matmul(cy.T, cy, precision=precision) / y.shape[0]
     return mae(xv, yv) + mae(xm, ym)
 
 
 def self_similarity(
-    x: jnp.ndarray, y: jnp.ndarray, impl: str = "auto"
+    x: jnp.ndarray, y: jnp.ndarray, impl: str = "auto",
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """STROTSS content loss: compare column-normalized self-cosine matrices.
 
@@ -135,9 +148,9 @@ def self_similarity(
 
         interpret = jax.default_backend() != "tpu"
         return self_similarity_pallas(x, y, interpret)
-    x_dist = cosine_distance(x, x)
+    x_dist = cosine_distance(x, x, precision)
     x_dist = x_dist / jnp.maximum(jnp.sum(x_dist, axis=0), _COLSUM_EPS)
-    y_dist = cosine_distance(y, y)
+    y_dist = cosine_distance(y, y, precision)
     y_dist = y_dist / jnp.maximum(jnp.sum(y_dist, axis=0), _COLSUM_EPS)
     return mae(x_dist, y_dist) * y.shape[0]
 
@@ -147,6 +160,7 @@ def relaxed_emd(
     y: jnp.ndarray,
     distance: str = "cosine",
     impl: str = "xla",
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Relaxed earth mover's distance: max of the two one-sided matching costs.
 
@@ -165,7 +179,7 @@ def relaxed_emd(
         from strotss_tpu.ops.kernels.remd import relaxed_emd_pallas
 
         return relaxed_emd_pallas(x, y, distance=distance)
-    c = dist_metrics[distance](x, y)
+    c = dist_metrics[distance](x, y, precision)
     r_x = jnp.mean(jnp.min(c, axis=1))
     r_y = jnp.mean(jnp.min(c, axis=0))
     return jnp.maximum(r_x, r_y)
@@ -234,6 +248,7 @@ def style_loss(
     sinkhorn_lambda: float = 10.0,
     sinkhorn_iters: int = 30,
     remd_impl: str = "xla",
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """The composite style loss of the reference's ``StyleLoss`` module.
 
@@ -243,7 +258,7 @@ def style_loss(
     """
     # alpha may be a traced scalar (the per-scale schedule is dynamic)
     inv_alpha = 1.0 / jnp.maximum(alpha, 1.0)
-    l_m = moment_matching(target, prediction)
+    l_m = moment_matching(target, prediction, precision)
     if use_sinkhorn:
         # remd_impl carries the same gating contract (masked vmap and
         # sample-sharded paths force 'xla'; 'auto' picks by problem size)
@@ -254,20 +269,23 @@ def style_loss(
             "both", sinkhorn_lambda, sinkhorn_iters, impl=remd_impl,
         )
     else:
-        l_t = relaxed_emd(target, prediction, "cosine", impl=remd_impl)
+        l_t = relaxed_emd(target, prediction, "cosine", impl=remd_impl,
+                          precision=precision)
         l_p = relaxed_emd(
             rgb_to_yuv(_f32(target)), rgb_to_yuv(_f32(prediction)),
-            "both", impl=remd_impl,
+            "both", impl=remd_impl, precision=precision,
         )
     return l_m + l_t + inv_alpha * l_p
 
 
 def content_loss(
-    target: jnp.ndarray, prediction: jnp.ndarray, impl: str = "auto"
+    target: jnp.ndarray, prediction: jnp.ndarray, impl: str = "auto",
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Reference ``ContentLoss``: self-similarity of (prediction, target).
 
     ``impl`` threads the StepSpec gating through (the masked vmap path must
     force 'xla': vmap over the Pallas custom_vjp may not batch on TPU).
     """
-    return self_similarity(prediction, target, impl=impl)
+    return self_similarity(prediction, target, impl=impl,
+                           precision=precision)

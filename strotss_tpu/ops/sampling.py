@@ -186,14 +186,19 @@ def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     Border handling matches the reference (``nn/strotss_utils.py:43-70``):
     floor/floor+1 corner indices clipped independently to the valid range.
+
+    All four corners ride ONE gather (and one scatter-add in the VJP):
+    TPU gathers pay a large fixed per-op cost, so 4x-fewer, 4x-bigger
+    gathers are markedly faster than one per corner (the sampling segment
+    of the train step is gather-overhead-bound, not bandwidth-bound).
     """
     fmap = _squeeze_map(fmap)
     h, w, c = fmap.shape
     gx, gy = coords[:, 0], coords[:, 1]
     gxf = jnp.floor(gx)
     gyf = jnp.floor(gy)
-    dx = (gx - gxf)[:, None]
-    dy = (gy - gyf)[:, None]
+    dx = gx - gxf
+    dy = gy - gyf
 
     x0 = jnp.clip(gxf, 0, h - 1).astype(jnp.int32)
     y0 = jnp.clip(gyf, 0, w - 1).astype(jnp.int32)
@@ -201,18 +206,21 @@ def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.clip(gyf + 1, 0, w - 1).astype(jnp.int32)
 
     flat = fmap.reshape(h * w, c)
-    va = jnp.take(flat, x0 * w + y0, axis=0)
-    vb = jnp.take(flat, x0 * w + y1, axis=0)
-    vc = jnp.take(flat, x1 * w + y0, axis=0)
-    vd = jnp.take(flat, x1 * w + y1, axis=0)
+    idx = jnp.stack(
+        [x0 * w + y0, x0 * w + y1, x1 * w + y0, x1 * w + y1]
+    )  # (4, n)
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, -1, c)
     dxf = dx.astype(flat.dtype)
     dyf = dy.astype(flat.dtype)
-    return (
-        va * (1 - dxf) * (1 - dyf)
-        + vb * (1 - dxf) * dyf
-        + vc * dxf * (1 - dyf)
-        + vd * dxf * dyf
-    )
+    wts = jnp.stack(
+        [
+            (1 - dxf) * (1 - dyf),
+            (1 - dxf) * dyf,
+            dxf * (1 - dyf),
+            dxf * dyf,
+        ]
+    )[:, :, None]  # (4, n, 1)
+    return jnp.sum(g * wts, axis=0)
 
 
 def nearest_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:

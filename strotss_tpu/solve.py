@@ -66,6 +66,10 @@ class StepSpec(NamedTuple):
     remd_impl: str
     selfsim_impl: str
     shard_samples: bool = False
+    #: matmul precision for the loss stack: 'highest' (exact f32) under
+    #: f32 features; 'high' (3-pass bf16, ~1e-6 rel) under bf16 features,
+    #: whose quantization noise dwarfs the matmul rounding — ~2x faster.
+    loss_precision: str = "highest"
 
 
 def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
@@ -87,6 +91,9 @@ def spec_from_config(cfg: StrotssConfig, masked: bool = False) -> StepSpec:
         remd_impl="xla" if cfg.shard_samples else impl,
         selfsim_impl="xla" if cfg.shard_samples else impl,
         shard_samples=cfg.shard_samples,
+        loss_precision=(
+            "high" if cfg.compute_dtype == "bfloat16" else "highest"
+        ),
     )
 
 
@@ -221,6 +228,133 @@ def prepare_scale(
     return pyramid, content_feats, style_targets, cmasks, opt_state
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "n_steps", "mode", "chw", "shw", "levels",
+                     "mesh"),
+    donate_argnames=("pyramid", "opt_state", "key"),
+)
+def run_scale(
+    spec: StepSpec,
+    n_steps: int,
+    mode: str,
+    chw,
+    shw,
+    levels: int,
+    vgg_params,
+    content,
+    style,
+    prev,
+    is_first,
+    k_style,
+    pyramid,
+    opt_state,
+    key,
+    alpha,
+    lr,
+    content_masks=None,
+    style_masks=None,
+    mesh=None,
+):
+    """Per-scale setup + ``n_steps`` optimization steps as ONE program.
+
+    The whole default run compiles to a single program per scale: resize,
+    Laplacian seed, both VGG hypercolumn extractions, style-target
+    sampling, mask prep, optimizer init, the step scan, and the folded /
+    postprocessed output image. On this environment's remote-compile relay
+    every separate program costs a 2-120 s round trip (and concurrent
+    relay requests thrash), so program count — not compile size — is what
+    governs both cold and warm start latency.
+
+    ``is_first`` (traced bool) selects the freshly-seeded pyramid/optimizer
+    on the first chunk of a scale and the carried state afterwards, so one
+    signature serves every chunk; first-chunk callers pass host-built
+    zero templates (see :func:`scale_state_templates`). The setup work
+    (two VGG forwards, style sampling) reruns per chunk — identical
+    results, keyed by ``k_style`` — which costs ~nothing at the default
+    one-chunk-per-scale and a few ms per extra chunk when a finer
+    ``log_every``/checkpoint cadence is requested.
+    """
+    scl_c, scl_s, seed_pyramid = _scale_seed(
+        mode, chw, shw, levels, content, style, prev
+    )
+    content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
+    style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
+
+    if style_masks is not None:
+        smasks = jax.vmap(lambda m: prepare_mask(m, shw))(style_masks)
+        keys = jax.random.split(k_style, smasks.shape[0])
+        style_targets = jax.vmap(
+            lambda m, k: sample_style(k, style_feats, spec.sample_size, m)
+        )(smasks, keys)
+    else:
+        style_targets = sample_style(k_style, style_feats, spec.sample_size)
+
+    cmasks = None
+    if content_masks is not None:
+        cmasks = jax.vmap(lambda m: prepare_mask(m, chw))(content_masks)
+
+    pyramid = jax.tree.map(
+        lambda s, p: jnp.where(is_first, s, p), tuple(seed_pyramid),
+        tuple(pyramid),
+    )
+    fresh_opt = make_optimizer(lr).init(pyramid)
+    opt_state = jax.tree.map(
+        lambda f, o: jnp.where(is_first, f, o), fresh_opt, opt_state
+    )
+
+    opt = make_optimizer(lr)
+
+    def loss_fn(pyr, k):
+        img = fold_laplacian_pyramid(pyr)
+        pred = extract_hypercolumn(spec, vgg_params, img)
+        return _step_losses(
+            spec, content_feats, pred, style_targets, cmasks, alpha, k,
+            mesh=mesh,
+        )
+
+    def step(carry, _):
+        pyr, ostate, k = carry
+        k, k_step = jax.random.split(k)
+        (loss, (lc, ls)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(pyr, k_step)
+        updates, ostate = opt.update(grads, ostate)
+        pyr = optax.apply_updates(pyr, updates)
+        return (pyr, ostate, k), jnp.stack([loss, lc, ls])
+
+    (pyramid, opt_state, key), metrics = jax.lax.scan(
+        step, (pyramid, opt_state, key), None, length=n_steps
+    )
+    img = fold_laplacian_pyramid(pyramid)
+    return pyramid, opt_state, key, metrics, img, postprocess(img)
+
+
+def scale_state_templates(chw, pyramid_levels: int, lr: float):
+    """Host-built zero (pyramid, opt_state) templates for a scale.
+
+    Structure/dtypes exactly match what ``run_scale``'s in-program init
+    produces (RMSprop slots and count init to zero; the hyperparams lr
+    leaf is overwritten by the traced value under ``is_first``), so the
+    first chunk can pass plain zeros and checkpoint restores have a
+    template without running any compiled program.
+    """
+    from strotss_tpu.ops.image import laplacian_pyramid_shapes
+
+    shapes = laplacian_pyramid_shapes(chw, pyramid_levels)
+    pyr = tuple(
+        jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32) for h, w in shapes
+    )
+    opt_shapes = jax.eval_shape(
+        lambda p: make_optimizer(jnp.float32(lr)).init(p), pyr
+    )
+    zeros = lambda s: np.zeros(s.shape, s.dtype)  # noqa: E731
+    return (
+        tuple(np.zeros((1, h, w, 3), np.float32) for h, w in shapes),
+        jax.tree.map(zeros, opt_shapes),
+    )
+
+
 def _shard_samples_constraint(x, mesh, axis: str = "sample"):
     """Constrain the leading (sample) axis of a sampled feature matrix to a
     mesh axis; XLA GSPMD then partitions the downstream distance-matrix
@@ -260,7 +394,10 @@ def _step_losses(spec, content_feats, pred, style_targets, content_masks,
             c_feat = _shard_samples_constraint(c_feat, mesh)
             p_feat = _shard_samples_constraint(p_feat, mesh)
             target = _shard_samples_constraint(target, mesh)
-        lc = content_loss(c_feat, p_feat, impl=spec.selfsim_impl)
+        lc = content_loss(
+            c_feat, p_feat, impl=spec.selfsim_impl,
+            precision=spec.loss_precision,
+        )
         ls = style_loss(
             target,
             p_feat,
@@ -269,6 +406,7 @@ def _step_losses(spec, content_feats, pred, style_targets, content_masks,
             sinkhorn_lambda=spec.sinkhorn_lambda,
             sinkhorn_iters=spec.sinkhorn_iters,
             remd_impl=spec.remd_impl,
+            precision=spec.loss_precision,
         )
         return lc, ls
 
@@ -454,17 +592,13 @@ def stylize_single(
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
         lr_t = jnp.asarray(lr, jnp.float32)
+        prev = stylized if stylized is not None else content
 
-        pyramid, content_feats, style_targets, cmasks, opt_state = (
-            prepare_scale(
-                spec, mode, chw, shw, cfg.pyramid_levels, vgg_params,
-                content, style,
-                stylized if stylized is not None else content,
-                k_style, lr_t, content_masks, style_masks,
-            )
-        )
+        # first chunk consumes host zero templates under is_first
+        pyramid, opt_state = scale_state_templates(chw, cfg.pyramid_levels, lr)
 
         done = 0
+        is_first = True
         if resume is not None and i == resume["scale_index"]:
             pyramid, opt_state, k_run = ckpt.restore_state(
                 cfg.checkpoint_dir, (pyramid, opt_state, k_run)
@@ -472,6 +606,7 @@ def stylize_single(
             alpha = resume["alpha"]
             done = min(resume["done_steps"], cfg.max_iter)
             resume = None
+            is_first = False
 
         alpha_t = jnp.asarray(alpha, jnp.float32)
 
@@ -479,11 +614,14 @@ def stylize_single(
         curve: List[np.ndarray] = []
         img_u8 = None
         for n in chunk_plan(cfg.max_iter - done, cfg.log_every):
-            pyramid, opt_state, k_run, metrics, stylized, img_u8 = run_chunk(
-                spec, n, vgg_params, content_feats, style_targets, cmasks,
+            pyramid, opt_state, k_run, metrics, stylized, img_u8 = run_scale(
+                spec, n, mode, chw, shw, cfg.pyramid_levels, vgg_params,
+                content, style, prev, jnp.asarray(is_first), k_style,
                 pyramid, opt_state, k_run, alpha_t, lr_t,
+                content_masks, style_masks,
                 mesh=mesh if spec.shard_samples else None,
             )
+            is_first = False
             if cfg.checkpoint_dir:
                 ckpt.save_state(
                     cfg.checkpoint_dir, i, done + n, alpha,
@@ -522,9 +660,11 @@ def stylize_single(
                 stylized = jnp.asarray(saved["stylized"])
                 img_u8 = jnp.asarray(saved["image_u8"])
             else:
-                pyramid, opt_state, k_run, _, stylized, img_u8 = run_chunk(
-                    spec, 0, vgg_params, content_feats, style_targets, cmasks,
+                pyramid, opt_state, k_run, _, stylized, img_u8 = run_scale(
+                    spec, 0, mode, chw, shw, cfg.pyramid_levels, vgg_params,
+                    content, style, prev, jnp.asarray(False), k_style,
                     pyramid, opt_state, k_run, alpha_t, lr_t,
+                    content_masks, style_masks,
                     mesh=mesh if spec.shard_samples else None,
                 )
         jax.block_until_ready(stylized)
