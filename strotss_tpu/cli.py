@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log_every", type=int, default=200)
     parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--no_precompile", action="store_true",
+                        help="compile each scale lazily instead of AOT-"
+                             "compiling all scales up front in parallel")
     parser.add_argument("--sinkhorn", action="store_true",
                         help="full entropic OT instead of relaxed EMD")
     parser.add_argument("--profile_dir", type=str, default=None)
@@ -132,6 +135,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         log_every=args.log_every,
         use_pallas=not args.no_pallas,
+        precompile=not args.no_precompile,
         use_sinkhorn=args.sinkhorn,
         profile_dir=args.profile_dir,
         save_every=args.save_every,

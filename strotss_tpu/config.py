@@ -57,6 +57,10 @@ class StrotssConfig:
     log_every: int = 200
     #: base PRNG seed (reference nn/rand.py seeds everything to 0).
     seed: int = 0
+    #: AOT-compile all per-scale programs up front with overlapped
+    #: compile/cache round-trips (see solve.precompile_scales) instead of
+    #: compiling lazily (serially) at each scale's first step.
+    precompile: bool = True
     #: use the fused Pallas REMD kernel where shapes allow.
     use_pallas: bool = True
     #: optional jax.profiler trace directory.

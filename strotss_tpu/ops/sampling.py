@@ -210,8 +210,13 @@ def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         [x0 * w + y0, x0 * w + y1, x1 * w + y0, x1 * w + y1]
     )  # (4, n)
     g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, -1, c)
-    dxf = dx.astype(flat.dtype)
-    dyf = dy.astype(flat.dtype)
+    # interpolate in f32 regardless of map dtype: the gathered bf16 corner
+    # values are exact, and f32 weighting avoids stacking a second rounding
+    # onto already-quantized features (the blend feeds the loss stack,
+    # which is f32) — bandwidth cost is unchanged, the gather stays bf16
+    g = g.astype(jnp.float32)
+    dxf = dx.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
     wts = jnp.stack(
         [
             (1 - dxf) * (1 - dyf),

@@ -498,6 +498,96 @@ def chunk_plan(max_iter: int, log_every: int) -> List[int]:
     return plan
 
 
+def _scale_signatures(cfg: StrotssConfig, content_shape, style_shape):
+    """Normal-path (no-resume) run_scale signatures, one per (scale, chunk).
+
+    ``prev`` (the previous scale's stylized image) has the PREVIOUS scale's
+    chw shape — except at scale 0 where it's the full-resolution content.
+    A resumed run whose early scales were skipped passes full-res content
+    as ``prev`` at a later scale instead; that signature isn't predicted
+    here and simply falls back to the ordinary jit path.
+    """
+    sigs = []
+    prev_shape = tuple(content_shape)
+    for i, scl in enumerate(cfg.scale_sizes()):
+        chw = resize_max_hw(content_shape[1], content_shape[2], scl)
+        shw = resize_max_hw(style_shape[1], style_shape[2], scl)
+        mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
+        for n in dict.fromkeys(chunk_plan(cfg.max_iter, cfg.log_every)):
+            sigs.append((i, n, mode, chw, shw, prev_shape))
+        prev_shape = (1, chw[0], chw[1], 3)
+    return sigs
+
+
+def precompile_scales(
+    cfg: StrotssConfig,
+    spec: StepSpec,
+    vgg_params,
+    content_shape,
+    style_shape,
+    content_masks=None,
+    style_masks=None,
+    max_workers: int = 4,
+):
+    """AOT-compile every per-scale program, overlapping the slow compiles.
+
+    Tracing/lowering is Python (GIL-bound, ~1-2 s per scale) and runs
+    sequentially; ``.compile()`` is a remote-relay RPC on this backend
+    (2-30 s each, GIL released) and runs across ``max_workers`` threads, so
+    the cold start pays ~max(compile) instead of sum(compile) and the warm
+    start overlaps the persistent-cache round-trips the same way.
+
+    Returns ``{(scale_idx, n_steps, prev_shape): jax.stages.Compiled}``;
+    callers fall back to the jit path on a key miss (resume signatures) or
+    a failed compile. The AOT executables are keyed by exact input avals —
+    ``stylize_single`` passes strongly-typed scalars so the calls match.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    aval = lambda a: jax.ShapeDtypeStruct(  # noqa: E731
+        np.shape(a), np.asarray(a).dtype
+    )
+    p_avals = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), vgg_params
+    )
+    key_aval = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    f32 = jax.ShapeDtypeStruct((), jnp.float32)
+    boolv = jax.ShapeDtypeStruct((), jnp.bool_)
+    cmask_avals = None if content_masks is None else aval(content_masks)
+    smask_avals = None if style_masks is None else aval(style_masks)
+
+    lowered = {}
+    for i, n, mode, chw, shw, prev_shape in _scale_signatures(
+        cfg, content_shape, style_shape
+    ):
+        pyr, opt = scale_state_templates(chw, cfg.pyramid_levels, cfg.lr)
+        args = (
+            spec, n, mode, chw, shw, cfg.pyramid_levels, p_avals,
+            jax.ShapeDtypeStruct(tuple(content_shape), jnp.float32),
+            jax.ShapeDtypeStruct(tuple(style_shape), jnp.float32),
+            jax.ShapeDtypeStruct(prev_shape, jnp.float32),
+            boolv, key_aval,
+            jax.tree.map(aval, pyr), jax.tree.map(aval, opt),
+            key_aval, f32, f32, cmask_avals, smask_avals,
+        )
+        try:
+            lowered[(i, n, prev_shape)] = run_scale.trace(
+                *args, mesh=None
+            ).lower()
+        except Exception:  # pragma: no cover - belt and braces
+            continue
+
+    programs = {}
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = {k: ex.submit(lo.compile) for k, lo in lowered.items()}
+        for k, fut in futs.items():
+            try:
+                programs[k] = fut.result()
+            except Exception:  # fall back to the jit path for this scale
+                pass
+    return programs
+
+
 def stylize_single(
     content: jnp.ndarray,
     style: jnp.ndarray,
@@ -569,6 +659,13 @@ def stylize_single(
                 "saved run. Delete the checkpoint directory to start fresh."
             )
 
+    programs: Dict = {}
+    if cfg.precompile and not (spec.shard_samples and mesh is not None):
+        programs = precompile_scales(
+            cfg, spec, vgg_params, content.shape, style.shape,
+            content_masks, style_masks,
+        )
+
     alpha = cfg.initial_alpha()
     stylized = None
     final_u8 = None
@@ -614,13 +711,25 @@ def stylize_single(
         curve: List[np.ndarray] = []
         img_u8 = None
         for n in chunk_plan(cfg.max_iter - done, cfg.log_every):
-            pyramid, opt_state, k_run, metrics, stylized, img_u8 = run_scale(
-                spec, n, mode, chw, shw, cfg.pyramid_levels, vgg_params,
-                content, style, prev, jnp.asarray(is_first), k_style,
-                pyramid, opt_state, k_run, alpha_t, lr_t,
-                content_masks, style_masks,
-                mesh=mesh if spec.shard_samples else None,
-            )
+            # strongly-typed scalar so the aval matches the AOT signature
+            is_first_t = jnp.asarray(is_first, jnp.bool_)
+            prog = programs.get((i, n, tuple(prev.shape)))
+            if prog is not None and not spec.shard_samples:
+                pyramid, opt_state, k_run, metrics, stylized, img_u8 = prog(
+                    vgg_params, content, style, prev, is_first_t, k_style,
+                    pyramid, opt_state, k_run, alpha_t, lr_t,
+                    content_masks, style_masks,
+                )
+            else:
+                pyramid, opt_state, k_run, metrics, stylized, img_u8 = (
+                    run_scale(
+                        spec, n, mode, chw, shw, cfg.pyramid_levels,
+                        vgg_params, content, style, prev, is_first_t,
+                        k_style, pyramid, opt_state, k_run, alpha_t, lr_t,
+                        content_masks, style_masks,
+                        mesh=mesh if spec.shard_samples else None,
+                    )
+                )
             is_first = False
             if cfg.checkpoint_dir:
                 ckpt.save_state(
@@ -662,7 +771,8 @@ def stylize_single(
             else:
                 pyramid, opt_state, k_run, _, stylized, img_u8 = run_scale(
                     spec, 0, mode, chw, shw, cfg.pyramid_levels, vgg_params,
-                    content, style, prev, jnp.asarray(False), k_style,
+                    content, style, prev, jnp.asarray(False, jnp.bool_),
+                    k_style,
                     pyramid, opt_state, k_run, alpha_t, lr_t,
                     content_masks, style_masks,
                     mesh=mesh if spec.shard_samples else None,

@@ -50,3 +50,50 @@ def test_alpha_schedule_in_info(rng):
     _, info = stylize_single(content, style, cfg, params)
     alphas = [s["alpha"] for s in info["scales"]]
     assert alphas == [16.0, 8.0]  # run_strotss.py:65,155
+
+
+def test_precompile_serves_every_chunk(rng, monkeypatch):
+    """With precompile on, the AOT executables must serve ALL chunks of a
+    fresh run — the jit fallback never fires (it's for resume signatures)."""
+    import strotss_tpu.solve as solve
+
+    content = jnp.asarray(rng.random((1, 40, 48, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 36, 44, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=2, max_iter=3, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    ref_img, ref_info = stylize_single(content, style, cfg, params)
+
+    real = solve.run_scale
+
+    class TraceOnly:
+        """precompile_scales may trace/lower; calling is the fallback."""
+
+        def trace(self, *a, **k):
+            return real.trace(*a, **k)
+
+        def __call__(self, *a, **k):  # pragma: no cover - on regression
+            raise AssertionError("jit fallback used despite precompile")
+
+    monkeypatch.setattr(solve, "run_scale", TraceOnly())
+    img, info = stylize_single(content, style, cfg, params)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref_img))
+    assert [s["loss"] for s in info["scales"]] == [
+        s["loss"] for s in ref_info["scales"]
+    ]
+
+
+def test_precompile_off_matches(rng):
+    content = jnp.asarray(rng.random((1, 40, 48, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 36, 44, 3)), jnp.float32)
+    params = random_params("16", 0)
+    kw = dict(levels=1, max_iter=2, log_every=2, sample_size=32,
+              compute_dtype="float32", use_pallas=False,
+              taps=("block1_conv1",))
+    img_a, _ = stylize_single(
+        content, style, StrotssConfig(precompile=True, **kw), params)
+    img_b, _ = stylize_single(
+        content, style, StrotssConfig(precompile=False, **kw), params)
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))

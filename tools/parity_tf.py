@@ -104,7 +104,7 @@ def run_reference(content, style, params, scale, steps, alpha, lr, sample_size):
 
 
 def run_ours(content, style, params, scale, steps, lr, sample_size,
-             dtype="float32"):
+             dtype="float32", seed=0):
     import jax.numpy as jnp
 
     from strotss_tpu.config import StrotssConfig
@@ -119,6 +119,7 @@ def run_ours(content, style, params, scale, steps, lr, sample_size,
         compute_dtype=dtype,
         use_pallas=False,
         max_size=scale,
+        seed=seed,
     )
     traj = []
 
@@ -139,6 +140,10 @@ def main():
     ap.add_argument("--tail", type=int, default=15)
     ap.add_argument("--sample_size", type=int, default=1024)
     ap.add_argument("--dtype", type=str, default="float32")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="our-side PRNG seed; the two RNG streams differ "
+                         "anyway, so seed sweeps quantify the sampling-"
+                         "noise floor of the tail-mean comparison")
     ap.add_argument("--reuse_reference", type=str, default=None,
                     help="path to a previous parity_report.json whose "
                          "reference numbers (same config) should be reused")
@@ -152,7 +157,7 @@ def main():
     alpha, lr = 16.0, 2e-3
 
     ours = run_ours(content, style, params, args.scale, args.steps, lr,
-                    args.sample_size, args.dtype)
+                    args.sample_size, args.dtype, args.seed)
     prev = None
     if args.reuse_reference:
         with open(args.reuse_reference) as f:
@@ -180,6 +185,8 @@ def main():
     report["ours_first_last"] = [float(ours[0, 0]), float(ours[-1, 0])]
 
     suffix = "" if args.dtype == "float32" else f"_{args.dtype}"
+    if args.seed:
+        suffix += f"_seed{args.seed}"  # don't clobber the canonical report
     out = os.path.join(HERE, "..", "tests", "golden",
                        f"parity_report{suffix}.json")
     with open(out, "w") as f:
