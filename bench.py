@@ -61,12 +61,18 @@ def main() -> None:
     content = synth_image(321, 481, 1)  # bundled content_im.jpg geometry
     style = synth_image(1600, 1200, 2)  # bundled style_im.jpg geometry
 
-    cfg = StrotssConfig()  # full defaults: 4 scales x 200 iters, bf16 convs
+    # full defaults: 4 scales x 200 iters, bf16 mixed-precision convs.
+    # STROTSS_BENCH_DTYPE=float32 measures the pure-f32 mode instead
+    # (reported identically; the driver always runs the default).
+    cfg = StrotssConfig(
+        compute_dtype=os.environ.get("STROTSS_BENCH_DTYPE", "bfloat16")
+    )
     params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
 
     # --- warmup: trigger every per-scale compile with one real-size chunk
     # (same static n_steps as the measured run, so nothing recompiles there)
-    warm_cfg = StrotssConfig(max_iter=cfg.log_every, log_every=cfg.log_every)
+    warm_cfg = StrotssConfig(max_iter=cfg.log_every, log_every=cfg.log_every,
+                             compute_dtype=cfg.compute_dtype)
     t0 = time.perf_counter()
     stylize_single(content, style, warm_cfg, params)
     compile_s = time.perf_counter() - t0

@@ -87,17 +87,8 @@ def preprocess(x: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
     raise ValueError(f"Unknown preprocess mode: {mode}")
 
 
-def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
-    # float32 inputs get true-f32 math (XLA:CPU otherwise drops to bf16
-    # fast paths); bf16 inputs ride the MXU bf16-in/bf16-out — the MXU
-    # accumulates in f32 internally, and asking for an f32 output here
-    # breaks the conv transpose rule (f32 cotangent vs bf16 kernel).
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if x.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    y = jax.lax.conv_general_dilated(
+def _conv_p(x: jnp.ndarray, kernel: jnp.ndarray, precision) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
         x,
         kernel,
         window_strides=(1, 1),
@@ -105,6 +96,24 @@ def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )
+
+
+def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    # float32 inputs get true-f32 math (HIGHEST — XLA:CPU otherwise drops
+    # to bf16 fast paths, and the mixed bf16 policy's f32 block1 needs
+    # exact convs in BOTH directions: the 600-step parity ablation in
+    # docs/PARITY.md shows every cheaper precision (1-pass, 3-pass, and
+    # fast-fwd/exact-bwd splits) leaves the content loss 1.2-1.35% off
+    # the reference where full-HIGHEST lands at 0.7-0.8%). bf16 inputs
+    # ride the MXU bf16-in/bf16-out — the MXU accumulates in f32
+    # internally, and asking for an f32 output here breaks the conv
+    # transpose rule (f32 cotangent vs bf16 kernel).
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    y = _conv_p(x, kernel, precision)
     y = y + bias.astype(y.dtype)
     return jnp.maximum(y, 0.0)
 
@@ -142,15 +151,32 @@ def vgg_apply(
     names = vgg_layer_names(vgg_type)
     deepest = max(names.index(t) for t in taps)
 
-    h = preprocess(x.astype(jnp.float32), preprocess_mode).astype(compute_dtype)
+    # Mixed-precision policy under bfloat16: block1 runs in f32 (exact
+    # convs), deeper blocks in bf16. Block1's two taps are the highest-
+    # resolution, largest-magnitude entries of the hypercolumn and
+    # dominate the self-similarity (content) loss's sensitivity to
+    # feature noise; quantizing them raises the converged content loss
+    # by ~2-3% vs f32, while with exact-f32 block1 every loss component
+    # lands within 1% of the TF reference (600-step tail-300 ablation,
+    # docs/PARITY.md — cheaper block1 precisions measurably don't get
+    # there, so the ~15-20% step-time cost is accepted as the default;
+    # float32 mode is slower still, bf16-everything would need the
+    # criterion relaxed).
+    mixed = compute_dtype == jnp.bfloat16
+    h = preprocess(x.astype(jnp.float32), preprocess_mode)
+    if not mixed:
+        h = h.astype(compute_dtype)
     outs: Dict[str, jnp.ndarray] = {}
     idx = 0
     n_blocks = len(_BLOCK_CONVS[vgg_type])
     for b in range(n_blocks):
+        if mixed and b == 1:
+            h = h.astype(compute_dtype)
         for _ in range(_BLOCK_CONVS[vgg_type][b]):
             name = names[idx]
             p = params[name]
-            h = _conv(h, p["kernel"].astype(compute_dtype), p["bias"])
+            dt = jnp.float32 if (mixed and b == 0) else compute_dtype
+            h = _conv(h, p["kernel"].astype(dt), p["bias"])
             if name in taps:
                 outs[name] = h
             if idx == deepest:

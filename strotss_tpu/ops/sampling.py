@@ -244,10 +244,16 @@ def sample_hypercolumn(
 ) -> jnp.ndarray:
     """Gather every feature map at (rescaled) ``coords``; concat channels.
 
+    One gather per map. (Channel-concatenating same-resolution maps to
+    share a gather was measured SLOWER on TPU: the per-step concat
+    materialization on the prediction side costs more than the saved
+    per-gather overhead — the 4-corner fusion inside ``bilinear_gather``
+    already amortizes most of the fixed cost.)
+
     Returns float32 (n, total_channels) — the hypercolumn matrix that all
     losses consume (2179 channels for the default VGG16 tap set + image).
     """
-    shapes = [( _squeeze_map(f).shape[0], _squeeze_map(f).shape[1]) for f in feats]
+    shapes = [(_squeeze_map(f).shape[0], _squeeze_map(f).shape[1]) for f in feats]
     factors = coordinate_factors(shapes)
     parts = []
     for fmap, fac in zip(feats, factors):

@@ -190,3 +190,25 @@ def test_load_h5_rejects_wrong_shapes(tmp_path):
             g.create_dataset("kernel:0", data=np.zeros((3, 3, 8, 8), np.float32))
             g.create_dataset("bias:0", data=np.zeros((8,), np.float32))
     assert _load_h5(path, "16") is None
+
+
+def test_bf16_mixed_precision_policy():
+    """bfloat16 mode computes block1 in f32 (taps included) and deeper
+    blocks in bf16 — the mixed policy that keeps every loss component
+    within 1% of the TF reference (docs/PARITY.md study)."""
+    import jax
+    import jax.numpy as jnp
+
+    from strotss_tpu.models.vgg import vgg_apply
+    from strotss_tpu.models.weights import random_params
+
+    params = random_params("16", 0)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    taps = ("block1_conv1", "block1_conv2", "block2_conv1")
+    outs = vgg_apply(params, x, taps=taps, compute_dtype=jnp.bfloat16)
+    assert [o.dtype for o in outs] == [
+        jnp.float32, jnp.float32, jnp.bfloat16
+    ]
+    # and pure-f32 mode is untouched by the policy
+    outs32 = vgg_apply(params, x, taps=taps, compute_dtype=jnp.float32)
+    assert all(o.dtype == jnp.float32 for o in outs32)
