@@ -98,21 +98,33 @@ def _conv_p(x: jnp.ndarray, kernel: jnp.ndarray, precision) -> jnp.ndarray:
     )
 
 
-def _conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+def _conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    fast_f32: bool = False,
+) -> jnp.ndarray:
     # float32 inputs get true-f32 math (HIGHEST — XLA:CPU otherwise drops
-    # to bf16 fast paths, and the mixed bf16 policy's f32 block1 needs
-    # exact convs in BOTH directions: the 600-step parity ablation in
-    # docs/PARITY.md shows every cheaper precision (1-pass, 3-pass, and
-    # fast-fwd/exact-bwd splits) leaves the content loss 1.2-1.35% off
-    # the reference where full-HIGHEST lands at 0.7-0.8%). bf16 inputs
-    # ride the MXU bf16-in/bf16-out — the MXU accumulates in f32
-    # internally, and asking for an f32 output here breaks the conv
-    # transpose rule (f32 cotangent vs bf16 kernel).
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if x.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    # to bf16 fast paths). ``fast_f32`` (the mixed bf16 policy's block1)
+    # keeps f32 operands/outputs but DEFAULT precision: bf16 multiply
+    # passes with f32 accumulation and — the part that measurably matters
+    # — f32 STORAGE of the tapped activations. The 600-step parity study
+    # (docs/PARITY.md) shows f32-stored block1 cuts the content-loss
+    # deviation from ~2.5% (all-bf16) to ~1.2±0.4%, while the conv's
+    # internal pass count (1-pass vs 3-pass vs 6-pass vs HIGHEST) is
+    # statistically indistinguishable there — sub-1e-3 feature
+    # perturbations are absorbed bit-exactly by f32 optimizer-state
+    # rounding — so the cheapest variant wins.
+    # bf16 inputs ride the MXU bf16-in/bf16-out (the MXU accumulates in
+    # f32 internally; an f32 output would break the conv transpose rule).
+    if fast_f32:
+        precision = jax.lax.Precision.DEFAULT
+    else:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
     y = _conv_p(x, kernel, precision)
     y = y + bias.astype(y.dtype)
     return jnp.maximum(y, 0.0)
@@ -151,17 +163,15 @@ def vgg_apply(
     names = vgg_layer_names(vgg_type)
     deepest = max(names.index(t) for t in taps)
 
-    # Mixed-precision policy under bfloat16: block1 runs in f32 (exact
-    # convs), deeper blocks in bf16. Block1's two taps are the highest-
+    # Mixed-precision policy under bfloat16: block1 runs with f32
+    # operands and f32-STORED taps (DEFAULT-precision convs — see
+    # _conv), deeper blocks in bf16. Block1's two taps are the highest-
     # resolution, largest-magnitude entries of the hypercolumn and
-    # dominate the self-similarity (content) loss's sensitivity to
-    # feature noise; quantizing them raises the converged content loss
-    # by ~2-3% vs f32, while with exact-f32 block1 every loss component
-    # lands within 1% of the TF reference (600-step tail-300 ablation,
-    # docs/PARITY.md — cheaper block1 precisions measurably don't get
-    # there, so the ~15-20% step-time cost is accepted as the default;
-    # float32 mode is slower still, bf16-everything would need the
-    # criterion relaxed).
+    # dominate the content (self-similarity) loss's sensitivity to
+    # feature quantization: bf16-stored block1 converges ~2.5% off the
+    # TF reference, f32-stored ~1.2±0.4% — the same band as float32
+    # mode's own ~1.0% systematic offset (600-step study,
+    # docs/PARITY.md). Costs ~13% step time over all-bf16.
     mixed = compute_dtype == jnp.bfloat16
     h = preprocess(x.astype(jnp.float32), preprocess_mode)
     if not mixed:
@@ -176,7 +186,8 @@ def vgg_apply(
             name = names[idx]
             p = params[name]
             dt = jnp.float32 if (mixed and b == 0) else compute_dtype
-            h = _conv(h, p["kernel"].astype(dt), p["bias"])
+            h = _conv(h, p["kernel"].astype(dt), p["bias"],
+                      fast_f32=(mixed and b == 0))
             if name in taps:
                 outs[name] = h
             if idx == deepest:

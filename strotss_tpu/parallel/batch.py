@@ -49,6 +49,7 @@ from strotss_tpu.solve import (
     extract_hypercolumn,
     make_optimizer,
     resize_max_hw,
+    source_tag,
     spec_from_config,
 )
 
@@ -149,6 +150,7 @@ def run_chunk_batch(
     key,
     alpha,
     lr,
+    src_tag=None,
 ):
     """``n_steps`` steps of the batched optimization as one on-device scan.
 
@@ -198,6 +200,8 @@ def run_chunk_batch(
     (pyramid, opt_state, key), metrics = jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
     )
+    if src_tag is not None:
+        metrics = metrics + 0.0 * jnp.sum(src_tag)  # see solve.source_tag
     imgs = fold_laplacian_pyramid(pyramid)
     imgs_u8 = jax.vmap(lambda im: postprocess(im[None]))(imgs)
     return pyramid, opt_state, key, metrics, imgs, imgs_u8
@@ -325,7 +329,7 @@ def stylize_batch(
                 run_chunk_batch(
                     spec, n, mesh, vgg_params, content_feats, style_targets,
                     cmasks, region_valid, pyramid, opt_state, k_run,
-                    alpha_t, lr_t,
+                    alpha_t, lr_t, source_tag(),
                 )
             )
             if cfg.checkpoint_dir:
@@ -365,7 +369,7 @@ def stylize_batch(
                     run_chunk_batch(
                         spec, 0, mesh, vgg_params, content_feats,
                         style_targets, cmasks, region_valid, pyramid,
-                        opt_state, k_run, alpha_t, lr_t,
+                        opt_state, k_run, alpha_t, lr_t, source_tag(),
                     )
                 )
         jax.block_until_ready(stylized)

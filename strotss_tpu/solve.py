@@ -52,6 +52,41 @@ from strotss_tpu.ops.sampling import (
 )
 
 
+def _source_tag_dim() -> int:
+    """A 1..64 dimension derived from the package's source bytes.
+
+    Measurement hygiene for remote-compile backends whose executable
+    caches and load paths are outside our control: every big jitted
+    program takes a zeros((tag_dim,)) argument that feeds a
+    ``+ 0.0 * sum(tag)`` into one output, so any source change shifts
+    the program *signature* — A/B perf or parity runs of different code
+    can never be conflated by any cache layer keyed more coarsely than
+    the HLO body. Cost: one tiny dead-weight argument per program.
+    Collision chance per change: 1/64 (sha256 of module sources, mod 64).
+    """
+    import hashlib
+    import os
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(pkg)):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+    return int.from_bytes(h.digest()[:4], "big") % 64 + 1
+
+
+_SRC_TAG_DIM = _source_tag_dim()
+
+
+def source_tag() -> np.ndarray:
+    """Host zeros array whose SHAPE encodes the package source hash."""
+    return np.zeros((_SRC_TAG_DIM,), np.float32)
+
+
 class StepSpec(NamedTuple):
     """Hashable static configuration of one optimization step."""
 
@@ -254,9 +289,14 @@ def run_scale(
     lr,
     content_masks=None,
     style_masks=None,
+    src_tag=None,
     mesh=None,
 ):
     """Per-scale setup + ``n_steps`` optimization steps as ONE program.
+
+    ``src_tag`` (see :func:`source_tag`) shifts the program signature with
+    the package source hash — required on remote-compile backends whose
+    executable cache can return stale binaries for body-only changes.
 
     The whole default run compiles to a single program per scale: resize,
     Laplacian seed, both VGG hypercolumn extractions, style-target
@@ -326,6 +366,10 @@ def run_scale(
     (pyramid, opt_state, key), metrics = jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
     )
+    if src_tag is not None:
+        # exact zero; exists so the source-hash-shaped arg is live (see
+        # source_tag) — jit would otherwise prune it from the executable
+        metrics = metrics + 0.0 * jnp.sum(src_tag)
     img = fold_laplacian_pyramid(pyramid)
     return pyramid, opt_state, key, metrics, img, postprocess(img)
 
@@ -444,6 +488,7 @@ def run_chunk(
     key,
     alpha,
     lr,
+    src_tag=None,
     mesh=None,
 ):
     """``n_steps`` optimization steps as one on-device scan.
@@ -481,6 +526,8 @@ def run_chunk(
     (pyramid, opt_state, key), metrics = jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
     )
+    if src_tag is not None:
+        metrics = metrics + 0.0 * jnp.sum(src_tag)  # see source_tag
     img = fold_laplacian_pyramid(pyramid)
     return pyramid, opt_state, key, metrics, img, postprocess(img)
 
@@ -555,6 +602,7 @@ def precompile_scales(
     boolv = jax.ShapeDtypeStruct((), jnp.bool_)
     cmask_avals = None if content_masks is None else aval(content_masks)
     smask_avals = None if style_masks is None else aval(style_masks)
+    tag_aval = jax.ShapeDtypeStruct((_SRC_TAG_DIM,), jnp.float32)
 
     lowered = {}
     for i, n, mode, chw, shw, prev_shape in _scale_signatures(
@@ -568,7 +616,7 @@ def precompile_scales(
             jax.ShapeDtypeStruct(prev_shape, jnp.float32),
             boolv, key_aval,
             jax.tree.map(aval, pyr), jax.tree.map(aval, opt),
-            key_aval, f32, f32, cmask_avals, smask_avals,
+            key_aval, f32, f32, cmask_avals, smask_avals, tag_aval,
         )
         try:
             lowered[(i, n, prev_shape)] = run_scale.trace(
@@ -718,7 +766,7 @@ def stylize_single(
                 pyramid, opt_state, k_run, metrics, stylized, img_u8 = prog(
                     vgg_params, content, style, prev, is_first_t, k_style,
                     pyramid, opt_state, k_run, alpha_t, lr_t,
-                    content_masks, style_masks,
+                    content_masks, style_masks, source_tag(),
                 )
             else:
                 pyramid, opt_state, k_run, metrics, stylized, img_u8 = (
@@ -726,7 +774,7 @@ def stylize_single(
                         spec, n, mode, chw, shw, cfg.pyramid_levels,
                         vgg_params, content, style, prev, is_first_t,
                         k_style, pyramid, opt_state, k_run, alpha_t, lr_t,
-                        content_masks, style_masks,
+                        content_masks, style_masks, source_tag(),
                         mesh=mesh if spec.shard_samples else None,
                     )
                 )
@@ -774,7 +822,7 @@ def stylize_single(
                     content, style, prev, jnp.asarray(False, jnp.bool_),
                     k_style,
                     pyramid, opt_state, k_run, alpha_t, lr_t,
-                    content_masks, style_masks,
+                    content_masks, style_masks, source_tag(),
                     mesh=mesh if spec.shard_samples else None,
                 )
         jax.block_until_ready(stylized)
