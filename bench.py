@@ -91,6 +91,23 @@ def main() -> None:
                       for s in info["scales"]),
           file=sys.stderr)
 
+    # optional: masked region-transfer mode (BASELINE.json config 3) —
+    # stderr-only, the driver's single JSON line stays the default workload
+    if os.environ.get("STROTSS_BENCH_MASKED"):
+        cm = np.zeros((2, 321, 481, 1), np.float32)
+        cm[0, :, :240], cm[1, :, 240:] = 1.0, 1.0
+        sm = np.zeros((2, 1600, 1200, 1), np.float32)
+        sm[0, :800], sm[1, 800:] = 1.0, 1.0
+        cm, sm = jnp.asarray(cm), jnp.asarray(sm)
+        stylize_single(content, style, warm_cfg, params,
+                       content_masks=cm, style_masks=sm)  # compile
+        t0 = time.perf_counter()
+        img_m, _ = stylize_single(content, style, cfg, params,
+                                  content_masks=cm, style_masks=sm)
+        jax.block_until_ready(img_m)
+        print(f"# masked (K=2): {time.perf_counter() - t0:.2f}s full "
+              "multi-scale", file=sys.stderr)
+
     # optional: batched-throughput mode (BASELINE.json config 4) — report on
     # stderr, keep the driver's single JSON line on stdout
     batch = int(os.environ.get("STROTSS_BENCH_BATCH", "0"))
