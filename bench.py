@@ -74,9 +74,14 @@ def main() -> None:
     warm_cfg = StrotssConfig(max_iter=cfg.log_every, log_every=cfg.log_every,
                              compute_dtype=cfg.compute_dtype)
     t0 = time.perf_counter()
-    stylize_single(content, style, warm_cfg, params)
+    _, warm_info = stylize_single(content, style, warm_cfg, params)
     compile_s = time.perf_counter() - t0
     print(f"# warmup (compile) pass: {compile_s:.1f}s", file=sys.stderr)
+    # per-program attribution (VERDICT r2 1a): lower/compile/first-call
+    # (first call includes the one-time remote program load)
+    for name, t in warm_info.get("programs", {}).items():
+        print(f"#   {name}: " + " ".join(f"{k}={v}s" for k, v in t.items()),
+              file=sys.stderr)
 
     # --- measured run ----------------------------------------------------
     t0 = time.perf_counter()

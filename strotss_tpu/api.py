@@ -31,6 +31,11 @@ def stylize(
     ``mesh``: optional ``jax.sharding.Mesh`` with a 'sample' axis, used
     when ``cfg.shard_samples`` partitions the transport losses.
     """
+    from strotss_tpu.validation import check_image, check_masks
+
+    check_image("content", content)
+    check_image("style", style)
+    check_masks(content_masks, style_masks)
     cfg = cfg or StrotssConfig()
     if vgg_params is None:
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)

@@ -85,12 +85,16 @@ def _load_h5(path: str, vgg_type: str) -> Optional[Params]:
     - legacy Theano-era files: ``<name>_W`` / ``<name>_b``;
     - Keras 3 ``.weights.h5``: ``layers/conv2d_N/vars/{0,1}``.
 
-    Each 4-D kernel is paired with the 1-D bias from the *same* h5 group
-    (never positionally across the file), layers are ordered by a
-    digit-aware sort of their group names (h5 visits ``conv2d_10`` before
-    ``conv2d_2``), and the resulting chain is validated against the exact
-    VGG shape sequence — a file that doesn't match returns None rather than
-    producing silently-wrong params.
+    Each 4-D kernel is paired with the 1-D bias from the *same* h5 group —
+    by uniqueness when the group holds exactly one length-matching 1-D
+    dataset (Keras 2/3 per-layer groups), by ``<name>_W`` -> ``<name>_b``
+    name matching when a flat legacy group holds many (VGG repeats channel
+    counts 3x256/6x512, so "first length match" would silently pair
+    ``conv3_2_W`` with ``conv3_1_b``). Layers are ordered by a digit-aware
+    sort of their group names (h5 visits ``conv2d_10`` before ``conv2d_2``),
+    and the resulting chain is validated against the exact VGG shape
+    sequence — a file that doesn't match returns None rather than producing
+    silently-wrong params.
     """
     try:
         import h5py
@@ -101,15 +105,28 @@ def _load_h5(path: str, vgg_type: str) -> Optional[Params]:
     def visit(name, obj):
         if hasattr(obj, "shape") and obj.ndim == 4:
             parent = obj.parent
-            bias = None
-            for sib in parent.values():
+            cands = [
+                (sname, sib)
+                for sname, sib in parent.items()
                 if (
                     hasattr(sib, "shape")
                     and sib.ndim == 1
                     and sib.shape[0] == obj.shape[-1]
-                ):
-                    bias = np.asarray(sib)
-                    break
+                )
+            ]
+            bias = None
+            if len(cands) == 1:
+                bias = np.asarray(cands[0][1])
+            else:
+                # flat legacy layout: several same-length biases share the
+                # group — only an exact name pairing is safe
+                leaf = name.rsplit("/", 1)[-1]
+                if leaf.endswith("_W"):
+                    want = leaf[:-2] + "_b"
+                    for sname, sib in cands:
+                        if sname == want:
+                            bias = np.asarray(sib)
+                            break
             if bias is not None:
                 pairs.append((name, np.asarray(obj), bias))
 

@@ -25,6 +25,7 @@ materializes N x M in HBM (``strotss_tpu/ops/kernels/remd.py``) for large N.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,33 @@ dist_metrics = {
 }
 
 
+def moment_stats(
+    x: jnp.ndarray, precision: str = "highest"
+) -> tuple:
+    """(mean (1,C), biased covariance (C,C)) of the rows of ``x``.
+
+    The target-side half of :func:`moment_matching`. Style targets are
+    constant within a scale (``run_strotss.py:27-41,128``: ``StyleLoss``
+    samples its target once per scale), so the solver hoists this C x C
+    (~2179²) Gram build out of the step scan and reuses it for all steps —
+    exact, and it halves the moment-matching matmul cost per step.
+    """
+    x = reshape_2d(_f32(x))
+    xm = jnp.mean(x, axis=0, keepdims=True)
+    cx = x - xm
+    xv = jnp.matmul(cx.T, cx, precision=precision) / x.shape[0]
+    return xm, xv
+
+
+def moment_matching_from_stats(
+    stats: tuple, y: jnp.ndarray, precision: str = "highest"
+) -> jnp.ndarray:
+    """:func:`moment_matching` with the x-side stats precomputed."""
+    xm, xv = stats
+    ym, yv = moment_stats(y, precision)
+    return mae(xv, yv) + mae(xm, ym)
+
+
 def moment_matching(
     x: jnp.ndarray, y: jnp.ndarray, precision: str = "highest"
 ) -> jnp.ndarray:
@@ -116,14 +144,7 @@ def moment_matching(
     For the default hypercolumn this is a C x C (~2179²) Gram build — two
     MXU matmuls.
     """
-    x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
-    xm = jnp.mean(x, axis=0, keepdims=True)
-    ym = jnp.mean(y, axis=0, keepdims=True)
-    cx = x - xm
-    cy = y - ym
-    xv = jnp.matmul(cx.T, cx, precision=precision) / x.shape[0]
-    yv = jnp.matmul(cy.T, cy, precision=precision) / y.shape[0]
-    return mae(xv, yv) + mae(xm, ym)
+    return moment_matching_from_stats(moment_stats(x, precision), y, precision)
 
 
 def self_similarity(
@@ -209,6 +230,14 @@ def sinkhorn(
     XLA path while the cost matrix amortizes well in HBM (it is
     iteration-invariant) and switches to the streamed kernel at the sample
     counts where the N x M buffer + backward copies start to own the chip.
+
+    **Gradient-semantics caveat for 'auto'**: the XLA path differentiates
+    through the unrolled iterations exactly; the streamed kernel returns
+    the converged-plan Danskin gradient (``<T*, dM>``) — the correct
+    limit-gradient, but not identical to the unrolled one at finite
+    ``n_iter`` (measured cosine ~0.9 at n_iter=30, tests/test_kernels.py).
+    Crossing the auto threshold therefore changes the gradient *estimator*,
+    not just the implementation; pin ``impl`` explicitly if that matters.
     """
     x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     if impl == "auto":
@@ -249,16 +278,23 @@ def style_loss(
     sinkhorn_iters: int = 30,
     remd_impl: str = "xla",
     precision: str = "highest",
+    target_moments: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """The composite style loss of the reference's ``StyleLoss`` module.
 
     ``moments + REMD(cosine) + (1/max(α,1)) · REMD(YUV-of-RGB, 'both')``
     (``run_strotss.py:27-41``). ``use_sinkhorn`` swaps both transport terms
     for full entropic OT (the high-res capability the reference stubbed out).
+    ``target_moments``: optional precomputed :func:`moment_stats` of
+    ``target`` — the solver hoists them out of the step scan (targets are
+    per-scale constants); passing them here is numerically identical to
+    recomputing.
     """
     # alpha may be a traced scalar (the per-scale schedule is dynamic)
     inv_alpha = 1.0 / jnp.maximum(alpha, 1.0)
-    l_m = moment_matching(target, prediction, precision)
+    if target_moments is None:
+        target_moments = moment_stats(target, precision)
+    l_m = moment_matching_from_stats(target_moments, prediction, precision)
     if use_sinkhorn:
         # remd_impl carries the same gating contract (masked vmap and
         # sample-sharded paths force 'xla'; 'auto' picks by problem size)

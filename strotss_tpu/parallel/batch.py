@@ -51,6 +51,7 @@ from strotss_tpu.solve import (
     resize_max_hw,
     source_tag,
     spec_from_config,
+    style_target_moments as solve_style_moments,
 )
 
 
@@ -86,8 +87,9 @@ def prepare_scale_batch(
     """Batched analogue of ``solve.prepare_scale``: the whole per-scale
     setup (resize, pyramid seed, both VGG extractions, style targets, mask
     prep, optimizer init) as ONE jitted program, vmapped over the pair axis
-    and sharded over the mesh's 'data' axis."""
-    batch = contents.shape[0]
+    and sharded over the mesh's 'data' axis. ``k_style``: (B, 2) per-pair
+    style keys — each pair's target sampling uses exactly the key stream
+    ``stylize_single`` would (per-pair equivalence)."""
     contents = _constrain(contents, mesh, P("data"))
     styles = _constrain(styles, mesh, P("data"))
 
@@ -100,7 +102,6 @@ def prepare_scale_batch(
     content_feats = _constrain(content_feats, mesh, P("data"))
     style_feats = _constrain(style_feats, mesh, P("data"))
 
-    keys = jax.random.split(k_style, batch)
     if style_masks is not None:
         # (B, K, H, W, 1) -> per-pair (K, h, w) validity maps at scale res
         smasks = jax.vmap(
@@ -113,11 +114,11 @@ def prepare_scale_batch(
                 lambda m, k1: sample_style(k1, feats, spec.sample_size, m)
             )(masks, kk)
 
-        style_targets = jax.vmap(pair_targets)(style_feats, smasks, keys)
+        style_targets = jax.vmap(pair_targets)(style_feats, smasks, k_style)
     else:
         style_targets = jax.vmap(
             lambda f, k: sample_style(k, f, spec.sample_size)
-        )(style_feats, keys)
+        )(style_feats, k_style)
     style_targets = _constrain(style_targets, mesh, P("data"))
 
     cmasks = None
@@ -159,43 +160,60 @@ def run_chunk_batch(
     'sample'-axis sharding constraints), vmapped over the pair axis.
     Returns per-step (n, B, 3) metrics plus the folded images and their
     uint8 postprocess (no extra compiled programs per scale).
+
+    **Per-pair exactness contract**: the total loss is the SUM of per-pair
+    losses — pairs are independent (no cross-pair op exists), so each
+    pair's gradient is exactly its single-run gradient; a mean would scale
+    grads by 1/B, which RMSprop's ε=1e-8 turns into an effective ε·B²
+    inflation that suppresses early/small-gradient updates vs B single
+    runs. ``key`` is a (B, 2) stack of per-pair keys, each split per step
+    exactly like ``solve.run_chunk``'s single key — so pair b's trajectory
+    is bit-for-bit the trajectory of a single run seeded with ``key[b]``
+    (tests/test_parallel.py::test_batched_matches_single_runs). Reference
+    semantics: B independent ``run()`` calls (``run_strotss.py:43-161``).
     """
     opt = make_optimizer(lr)
-    batch = style_targets.shape[0]
+    style_moments = jax.vmap(
+        lambda t: solve_style_moments(
+            spec, t, masked=content_masks is not None
+        )
+    )(style_targets)
 
-    def per_pair(cf, pf, target, cmask, valid, k):
+    def per_pair(cf, pf, target, tmom, cmask, valid, k):
         loss, (lc, ls) = _step_losses(
             spec, cf, pf, target, cmask, alpha, k,
             region_valid=valid,
             mesh=mesh if spec.shard_samples else None,
+            style_moments=tmom,
         )
         return loss, lc, ls
 
-    def loss_fn(pyr, k):
+    def loss_fn(pyr, keys):
         img = fold_laplacian_pyramid(pyr)
         img = _constrain(img, mesh, P("data"))
         pred = extract_hypercolumn(spec, vgg_params, img)
-        keys = jax.random.split(k, batch)
-        in_axes = (0, 0, 0,
+        in_axes = (0, 0, 0, 0,
                    None if content_masks is None else 0,
                    None if region_valid is None else 0,
                    0)
         losses, lcs, lss = jax.vmap(per_pair, in_axes=in_axes)(
-            content_feats, pred, style_targets, content_masks, region_valid,
-            keys,
+            content_feats, pred, style_targets, style_moments,
+            content_masks, region_valid, keys,
         )
-        return jnp.mean(losses), jnp.stack([losses, lcs, lss], axis=-1)
+        return jnp.sum(losses), jnp.stack([losses, lcs, lss], axis=-1)
 
     def step(carry, _):
-        pyr, ostate, k = carry
-        k, k_step = jax.random.split(k)
+        pyr, ostate, keys = carry
+        # per-pair split, exactly run_chunk's `k, k_step = split(k)`
+        splits = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+        keys, k_steps = splits[:, 0], splits[:, 1]
         (_, per_pair_metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(pyr, k_step)
+        )(pyr, k_steps)
         updates, ostate = opt.update(grads, ostate)
         pyr = optax.apply_updates(pyr, updates)
         pyr = _constrain(pyr, mesh, P("data"))
-        return (pyr, ostate, k), per_pair_metrics
+        return (pyr, ostate, keys), per_pair_metrics
 
     (pyramid, opt_state, key), metrics = jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
@@ -228,18 +246,37 @@ def stylize_batch(
     pair axis is sharded over the mesh's ``data`` axis (and, under
     ``cfg.shard_samples``, transport losses over its ``sample`` axis).
     Returns ((B, H', W', 3) uint8, info).
+
+    **Equivalence contract**: pair ``b``'s optimization trajectory equals a
+    ``stylize_single`` run with ``key=jax.random.fold_in(key, b)`` to float
+    tolerance — the batched loss is the per-pair SUM (exact per-pair grads)
+    and every pair carries its own key stream (see ``run_chunk_batch``).
     """
+    from strotss_tpu.validation import check_image, check_masks
+
+    check_image("contents", contents, batched=True)
+    check_image("styles", styles, batched=True)
+    if contents.shape[0] != styles.shape[0]:
+        raise ValueError(
+            f"contents and styles must have the same batch dim, got "
+            f"{contents.shape[0]} vs {styles.shape[0]}"
+        )
+    check_masks(content_masks, style_masks, region_valid, batched=True,
+                batch=contents.shape[0])
     cfg = cfg or StrotssConfig()
     if vgg_params is None:
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     use_mask = content_masks is not None
-    if use_mask and style_masks is None:
-        raise ValueError("content_masks given without style_masks")
     if use_mask and region_valid is None:
         region_valid = jnp.ones(content_masks.shape[:2], jnp.float32)
-    spec = spec_from_config(cfg, masked=use_mask)
+    spec = spec_from_config(cfg, masked=use_mask, batched=True)
+    # per-pair base keys: pair b's whole stream matches
+    # stylize_single(key=fold_in(key, b))
+    pair_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
+        jnp.arange(contents.shape[0])
+    )
 
     from strotss_tpu.ops.image import resize_max
 
@@ -289,7 +326,12 @@ def stylize_batch(
 
     for i, scl in enumerate(cfg.scale_sizes()):
         t_scale = time.perf_counter()
-        key, k_style, k_run = jax.random.split(jax.random.fold_in(key, i), 3)
+        # per-pair per-scale key derivation — identical to stylize_single's
+        # `key, k_style, k_run = split(fold_in(key, i), 3)`, vmapped over b
+        trip = jax.vmap(
+            lambda k: jax.random.split(jax.random.fold_in(k, i), 3)
+        )(pair_keys)
+        pair_keys, k_style, k_run = trip[:, 0], trip[:, 1], trip[:, 2]
 
         if resume is not None and i < resume["scale_index"]:
             alpha /= 2.0

@@ -58,6 +58,18 @@ def check_fingerprint(
     the optimization trajectory (config fields, input shapes, step spec).
     """
     saved = meta.get("fingerprint")
+    if saved is None:
+        # checkpoints written before fingerprints existed carry None —
+        # treat as legacy: warn and rely on the structure-digest /
+        # leaf-count guards in restore_state instead of refusing outright
+        from strotss_tpu.utils.logging import logger
+
+        logger.warning(
+            f"Checkpoint at {directory} has no run fingerprint (written by "
+            "an older version); resuming with structure-digest validation "
+            "only."
+        )
+        return
     if saved != fingerprint:
         diffs = sorted(
             k

@@ -65,6 +65,32 @@ def test_resume_config_fingerprint_guard(rng, tmp_path):
         stylize_single(content2, style, _cfg(2, d), params)
 
 
+def test_legacy_checkpoint_without_fingerprint_resumes(rng, tmp_path):
+    """Checkpoints from before fingerprints existed (fingerprint=None) are
+    accepted with a warning, relying on the structure-digest guard —
+    instead of being unconditionally refused (ADVICE r2)."""
+    import json
+    import os
+
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    d = str(tmp_path / "ckpt")
+    img_full, _ = stylize_single(content, style, _cfg(4), params)
+    stylize_single(content, style, _cfg(4, d), params)
+    # simulate a legacy checkpoint: strip the fingerprint from the meta
+    meta_path = os.path.join(d, "state.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["fingerprint"] = None
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    img_resumed, _ = stylize_single(content, style, _cfg(4, d), params)
+    np.testing.assert_array_equal(
+        np.asarray(img_full), np.asarray(img_resumed)
+    )
+
+
 def test_restore_structure_digest_guard(tmp_path):
     """Same leaf count, different shapes => restore refuses cleanly."""
     import pytest

@@ -39,6 +39,20 @@ def test_moments_golden(golden):
     np.testing.assert_allclose(float(out), float(g["moments"]), rtol=1e-4)
 
 
+def test_moment_hoisting_identical(rng):
+    """Precomputed target moments (hoisted out of the step scan by the
+    solver) are bit-identical to recomputing inside moment_matching."""
+    x = jnp.asarray(rng.standard_normal((64, 17)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64, 17)), jnp.float32)
+    ref = L.moment_matching(x, y)
+    hoisted = L.moment_matching_from_stats(L.moment_stats(x), y)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(hoisted))
+    # and through style_loss's target_moments path
+    a = L.style_loss(x, y, 2.0)
+    b = L.style_loss(x, y, 2.0, target_moments=L.moment_stats(x))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cosine_orthonormal_rows():
     x = jnp.eye(4, 8)
     d = L.cosine_distance(x, x)

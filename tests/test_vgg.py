@@ -176,6 +176,46 @@ def test_load_h5_keras2_layout(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(got[name]["bias"]), b)
 
 
+def test_load_h5_legacy_flat_layout(rng, tmp_path):
+    """_load_h5 pairs biases by NAME in the flat legacy layout
+    (``<name>_W``/``<name>_b`` datasets all in one group) — VGG repeats
+    channel counts (3x256, 6x512), so a first-length-match search would
+    silently pair e.g. ``conv3_2_W`` with ``conv3_1_b`` (ADVICE r2)."""
+    h5py = pytest.importorskip("h5py")
+
+    from strotss_tpu.models.vgg import vgg_layer_channels, vgg_layer_names
+    from strotss_tpu.models.weights import _load_h5
+
+    path = str(tmp_path / "vgg16_legacy.h5")
+    chans = vgg_layer_channels("16")
+    want = {}
+    with h5py.File(path, "w") as f:
+        cin = 3
+        for name in vgg_layer_names("16"):
+            cout = chans[name]
+            k = rng.standard_normal((3, 3, cin, cout)).astype(np.float32)
+            # encode the layer name in the bias values so a wrong pairing
+            # at a repeated channel count is detectable
+            b = rng.standard_normal((cout,)).astype(np.float32)
+            legacy = name.replace("block", "conv").replace("_conv", "_")
+            f.create_dataset(f"{legacy}_W", data=k)
+            f.create_dataset(f"{legacy}_b", data=b)
+            want[name] = (k, b)
+            cin = cout
+
+    got = _load_h5(path, "16")
+    assert got is not None, "legacy flat layout failed to convert"
+    for name, (k, b) in want.items():
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["kernel"]), k,
+            err_msg=f"kernel mismatch at {name}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[name]["bias"]), b,
+            err_msg=f"bias mismatch at {name} (mispaired in flat layout)",
+        )
+
+
 def test_load_h5_rejects_wrong_shapes(tmp_path):
     """A same-layer-count file with a wrong channel chain is rejected."""
     h5py = pytest.importorskip("h5py")
