@@ -636,6 +636,15 @@ class PrecompiledPrograms:
         for k in list(self._futs):
             self.get(k)
 
+    def pending(self) -> bool:
+        """True while any compile is still in flight. Host transfers
+        (device_get) through this backend's relay can stall for minutes
+        when issued concurrently with compile RPCs (measured via stack
+        dumps: the 150-500 s warmups were a device_get at solve's chunk
+        loop, not compilation) — the solver defers metric fetches while
+        this is True."""
+        return any(not f.done() for f in self._futs.values())
+
 
 def precompile_scales(
     cfg: StrotssConfig,
@@ -682,8 +691,25 @@ def precompile_scales(
     smask_avals = None if style_masks is None else aval(style_masks)
     tag_aval = jax.ShapeDtypeStruct((_SRC_TAG_DIM,), jnp.float32)
 
-    lowered = {}
     timings: Dict = {}
+
+    def compile_one(key, lo):
+        t0 = time.perf_counter()
+        out = lo.compile()
+        timings[key]["compile"] = time.perf_counter() - t0
+        return out
+
+    # Tracing/lowering is Python/GIL-bound (~1.5 s per scale): keep it
+    # SERIAL on this thread — measured: four threads tracing concurrently
+    # thrash the GIL to ~7 s each for zero wall-clock gain. Each compile
+    # (a GIL-releasing relay RPC) is submitted the moment its lower
+    # finishes, so the 64px compile is in flight while 128-512px still
+    # lower, and the caller's first get() typically returns right after
+    # the lowering loop. The executor is intentionally not shut down with
+    # wait=True — queued compiles keep running while the solver executes
+    # earlier scales, and get() joins per program.
+    ex = ThreadPoolExecutor(max_workers=max_workers)
+    futs = {}
     for i, n, mode, chw, shw, prev_shape in _scale_signatures(
         cfg, content_shape, style_shape
     ):
@@ -697,28 +723,14 @@ def precompile_scales(
             jax.tree.map(aval, pyr), jax.tree.map(aval, opt),
             key_aval, f32, f32, cmask_avals, smask_avals, tag_aval,
         )
+        key = (i, n, prev_shape)
         t0 = time.perf_counter()
         try:
-            lowered[(i, n, prev_shape)] = run_scale.trace(
-                *args, mesh=None
-            ).lower()
-            timings[(i, n, prev_shape)] = {
-                "lower": time.perf_counter() - t0
-            }
+            lo = run_scale.trace(*args, mesh=None).lower()
         except Exception:  # pragma: no cover - belt and braces
             continue
-
-    def compile_one(key, lo):
-        t0 = time.perf_counter()
-        out = lo.compile()
-        timings[key]["compile"] = time.perf_counter() - t0
-        return out
-
-    # submitted in coarse-to-fine key order; the executor is intentionally
-    # not shut down with wait=True — queued compiles keep running while the
-    # solver executes earlier scales, and get() joins per program
-    ex = ThreadPoolExecutor(max_workers=max_workers)
-    futs = {k: ex.submit(compile_one, k, lo) for k, lo in lowered.items()}
+        timings[key] = {"lower": time.perf_counter() - t0}
+        futs[key] = ex.submit(compile_one, key, lo)
     ex.shutdown(wait=False)
     return PrecompiledPrograms(futs, timings)
 
@@ -883,20 +895,34 @@ def stylize_single(
                     pyramid, opt_state, k_run, fingerprint=fingerprint,
                     extras={"stylized": stylized, "image_u8": img_u8},
                 )
-            mblock = np.asarray(jax.device_get(metrics))  # (n, 3)
-            curve.append(mblock)
-            if progress_cb is not None:
-                for j in range(n):
-                    progress_cb(
-                        scl, done + j + 1, cfg.max_iter,
-                        {"loss": float(mblock[j, 0]),
-                         "loss_c": float(mblock[j, 1]),
-                         "loss_s": float(mblock[j, 2])},
-                    )
+            # host transfers stall (minutes!) on this backend while compile
+            # RPCs are in flight — defer the metric fetch until compiles
+            # settle unless a per-chunk consumer needs the values now
+            # (callbacks/checkpoints). Steady state: pending() is False and
+            # this is exactly the old per-chunk fetch.
+            defer = (
+                progress_cb is None
+                and snapshot_cb is None
+                and not cfg.checkpoint_dir
+                and getattr(programs, "pending", lambda: False)()
+            )
+            if defer:
+                curve.append(metrics)  # device array; fetched after the run
+            else:
+                mblock = np.asarray(jax.device_get(metrics))  # (n, 3)
+                curve.append(mblock)
+                if progress_cb is not None:
+                    for j in range(n):
+                        progress_cb(
+                            scl, done + j + 1, cfg.max_iter,
+                            {"loss": float(mblock[j, 0]),
+                             "loss_c": float(mblock[j, 1]),
+                             "loss_s": float(mblock[j, 2])},
+                        )
+                last = {"loss": float(mblock[-1, 0]),
+                        "loss_c": float(mblock[-1, 1]),
+                        "loss_s": float(mblock[-1, 2])}
             done += n
-            last = {"loss": float(mblock[-1, 0]),
-                    "loss_c": float(mblock[-1, 1]),
-                    "loss_s": float(mblock[-1, 2])}
             if (
                 snapshot_cb is not None
                 and cfg.save_every > 0
@@ -923,19 +949,34 @@ def stylize_single(
                     content_masks, style_masks, source_tag(),
                     mesh=mesh if spec.shard_samples else None,
                 )
-        jax.block_until_ready(stylized)
+        deferred = any(not isinstance(c, np.ndarray) for c in curve)
+        if not deferred:
+            # device sync so per-scale seconds are honest; skipped in the
+            # deferred (compiles-in-flight) case where any sync stalls
+            jax.block_until_ready(stylized)
         final_u8 = img_u8
         info["scales"].append(
             {
                 "scale": scl,
                 "alpha": alpha,
                 "seconds": time.perf_counter() - t_scale,
-                "curve": np.concatenate(curve, axis=0)
-                if curve else np.zeros((0, 3), np.float32),
+                "curve": curve,
                 **last,
             }
         )
         alpha /= 2.0
+
+    # settle deferred metric fetches (every program future was consumed by
+    # the loop above, so no compile RPC can still be in flight here)
+    for s in info["scales"]:
+        cv = [np.asarray(jax.device_get(c)) for c in s["curve"]]
+        s["curve"] = (
+            np.concatenate(cv, axis=0) if cv else np.zeros((0, 3), np.float32)
+        )
+        if "loss" not in s and len(s["curve"]):
+            s["loss"] = float(s["curve"][-1, 0])
+            s["loss_c"] = float(s["curve"][-1, 1])
+            s["loss_s"] = float(s["curve"][-1, 2])
 
     info["seconds"] = time.perf_counter() - t_total
     timings = getattr(programs, "timings", None)
