@@ -42,12 +42,17 @@ def timed_scan(fn, x, y, reps=8):
         c, gs = jax.lax.scan(body, jnp.float32(0.0), None, length=4)
         return c, gs
 
+    def sync(o):
+        # axon's block_until_ready returns before execution completes;
+        # only a host fetch truly waits (CLAUDE.md relay notes)
+        jax.device_get(o[0])
+
     out = chunk(x, y)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = chunk(x, y)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / (reps * 4) * 1000.0
 
 

@@ -22,14 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    # axon's block_until_ready can return before execution completes;
+    # only a host fetch truly waits (CLAUDE.md relay notes)
+    jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+
 def timed(fn, *args, reps=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps * 1000.0  # ms
 
 
@@ -129,12 +135,12 @@ def main():
     # donation: time with fresh state each reps — use n_steps=10 and divide
     state = (pyramid, opt_state, key)
     out = one_chunk(*state)
-    jax.block_until_ready(out[0])
+    _sync(out[0])
     t0 = time.perf_counter()
     reps = 5
     for _ in range(reps):
         out = one_chunk(*out[:3])
-    jax.block_until_ready(out[0])
+    _sync(out[0])
     ms = (time.perf_counter() - t0) / (reps * 10) * 1000.0
     print(f"full step (in scan):  {ms:8.2f} ms")
 
