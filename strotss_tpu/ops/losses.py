@@ -206,7 +206,7 @@ def relaxed_emd(
     return jnp.maximum(r_x, r_y)
 
 
-@partial(jax.jit, static_argnames=("distance", "n_iter", "impl"))
+@partial(jax.jit, static_argnames=("distance", "lam", "n_iter", "impl"))
 def sinkhorn(
     x: jnp.ndarray,
     y: jnp.ndarray,
@@ -238,6 +238,11 @@ def sinkhorn(
     ``n_iter`` (measured cosine ~0.9 at n_iter=30, tests/test_kernels.py).
     Crossing the auto threshold therefore changes the gradient *estimator*,
     not just the implementation; pin ``impl`` explicitly if that matters.
+
+    ``lam`` is a **static** argument (a Python float, constant per config):
+    the streamed kernel bakes it into the tile program, so a traced ``lam``
+    raises jit's clear non-hashable-static error instead of the
+    ``UnexpectedTracerError`` it produced before lam was marked static.
     """
     x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     if impl == "auto":

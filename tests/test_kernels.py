@@ -122,6 +122,32 @@ def test_sinkhorn_streamed_matches_xla(rng, dist):
     np.testing.assert_allclose(got, want, rtol=rtol, atol=1e-6)
 
 
+def test_sinkhorn_pallas_via_public_api_in_scan(rng):
+    """Regression: ``losses.sinkhorn(impl='pallas')`` under value_and_grad
+    inside a scan body. ``lam`` used to reach ``sinkhorn_streamed``'s
+    nondiff_argnums as a tracer (losses.sinkhorn's jit didn't mark it
+    static) → UnexpectedTracerError on every TPU/scan use of the public
+    streamed path; the direct-call kernel tests never caught it."""
+    x = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+
+    def fn(yy):
+        return L.sinkhorn(x, yy, "cosine", 10.0, 3, impl="pallas")
+
+    @jax.jit
+    def chunk(yy):
+        def body(c, _):
+            v, g = jax.value_and_grad(fn)(yy + 0.0 * c)
+            return c + v, g[0, 0]
+
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=2)
+        return c
+
+    out = float(chunk(y))
+    want = 2.0 * float(L.sinkhorn(x, y, "cosine", 10.0, 3, impl="xla"))
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-6)
+
+
 def test_sinkhorn_streamed_grad_matches_frozen_plan(rng):
     """The streamed VJP == jax.grad of the XLA path with stop_gradient on
     the whole transport plan (the documented Danskin estimator: dL/dd = T)."""
