@@ -227,9 +227,18 @@ def sinkhorn(
     ``impl='pallas'`` streams the iterations through tiled flash-LSE passes
     with **no N x M buffer at all** (``ops/kernels/sinkhorn.py``; gradient =
     converged-plan Danskin estimator). ``'auto'`` keeps the materialized
-    XLA path while the cost matrix amortizes well in HBM (it is
-    iteration-invariant) and switches to the streamed kernel at the sample
-    counts where the N x M buffer + backward copies start to own the chip.
+    XLA path everywhere it *fits*: measured on v5e
+    (``tools/bench_sinkhorn.py``, val+grad, C=2179, 30 iters), XLA wins at
+    every size it can run — 3.8/16.1/152/603 ms at N=2048/4096/8192/16384
+    vs 57/228/922/3603 ms streamed. There is **no speed crossover**: the
+    streamed kernel rebuilds the cost tiles 2x per iteration (~60x the
+    matmul FLOPs of building the cost matrix once), which is the price of
+    O((N+M)C) memory. It is a *capacity* feature, so the auto gate is a
+    memory gate: engage streaming once the f32 cost matrix would exceed
+    ~4 GB (N*M > 2**30 entries, i.e. beyond ~32k x 32k samples) — the XLA
+    path keeps ~3 N x M live buffers (cost, log-kernel, transport plan in
+    backward), which at that size exhausts the chip's 16 GB HBM
+    (``tools/bench_sinkhorn_capacity.py``).
 
     **Gradient-semantics caveat for 'auto'**: the XLA path differentiates
     through the unrolled iterations exactly; the streamed kernel returns
@@ -246,7 +255,9 @@ def sinkhorn(
     """
     x, y = reshape_2d(_f32(x)), reshape_2d(_f32(y))
     if impl == "auto":
-        impl = "pallas" if x.shape[0] * y.shape[0] > 12288 ** 2 else "xla"
+        # memory gate, not a speed crossover (see docstring): stream once
+        # the materialized path's ~3 NxM f32 buffers would exhaust HBM
+        impl = "pallas" if x.shape[0] * y.shape[0] > 2 ** 30 else "xla"
     if impl == "pallas":
         from strotss_tpu.ops.kernels.sinkhorn import sinkhorn_streamed
 
