@@ -63,6 +63,12 @@ class StrotssConfig:
     precompile: bool = True
     #: use the fused Pallas REMD kernel where shapes allow.
     use_pallas: bool = True
+    #: VGG block1 implementation: 'auto' (= 'xla'), 'xla', or 'pallas'.
+    #: The fused Pallas block1 kernel exists and is numerically verified,
+    #: but measured SLOWER than the lax convs on v5e (its Mosaic relayouts
+    #: exceed the XLA conv emitter's own overhead — docs/MXU.md); it stays
+    #: an explicit opt-in for future hardware/compiler re-evaluation.
+    block1_impl: str = "auto"
     #: optional jax.profiler trace directory.
     profile_dir: Optional[str] = None
     #: dump intermediate stylized images every N steps (0 = off).

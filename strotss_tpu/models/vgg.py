@@ -153,11 +153,21 @@ def vgg_apply(
     vgg_type: str = "16",
     preprocess_mode: str = "norm",
     compute_dtype: jnp.dtype = jnp.float32,
+    block1_impl: str = "xla",
+    block1_interpret: bool = False,
 ) -> List[jnp.ndarray]:
     """Run VGG on NHWC [0,1] RGB; return the tapped activations in order.
 
     Stops after the deepest tap. ``compute_dtype=bfloat16`` runs the conv
     stack on the MXU in bf16 with f32 accumulation.
+
+    ``block1_impl='pallas'`` routes both block1 convs through the fused
+    Pallas kernel (bf16 mixed policy, batch 1, both convs needed — falls
+    back to lax convs otherwise). Same numerics family as the DEFAULT-
+    precision f32 convs it replaces: bf16 MXU passes, f32 accumulation,
+    f32-stored taps. Measured slower than the lax convs on v5e (see
+    kernels/block1.py) — explicit opt-in only. ``block1_interpret`` is
+    for CPU tests.
     """
     taps = list(taps)
     names = vgg_layer_names(vgg_type)
@@ -179,9 +189,36 @@ def vgg_apply(
     outs: Dict[str, jnp.ndarray] = {}
     idx = 0
     n_blocks = len(_BLOCK_CONVS[vgg_type])
+    # fused Pallas block1 (mixed policy, single image, deepest tap past
+    # block1_conv2) — both taps in one kernel; opt-in, measured slower
+    # than the lax convs (docs/MXU.md)
+    fuse_b1 = (
+        block1_impl == "pallas"
+        and mixed
+        and x.shape[0] == 1
+        and deepest >= 1
+    )
     for b in range(n_blocks):
         if mixed and b == 1:
             h = h.astype(compute_dtype)
+        if b == 0 and fuse_b1:
+            from strotss_tpu.ops.kernels.block1 import block1_pallas
+
+            p1, p2 = params["block1_conv1"], params["block1_conv2"]
+            t1, t2 = block1_pallas(
+                h[0],
+                p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
+                interpret=block1_interpret,
+            )
+            if "block1_conv1" in taps:
+                outs["block1_conv1"] = t1[None]
+            if "block1_conv2" in taps:
+                outs["block1_conv2"] = t2[None]
+            if deepest == 1:
+                return [outs[t] for t in taps]
+            h = _maxpool(t2[None])
+            idx = 2
+            continue
         for _ in range(_BLOCK_CONVS[vgg_type][b]):
             name = names[idx]
             p = params[name]

@@ -115,6 +115,9 @@ class StepSpec(NamedTuple):
     #: f32 features; 'high' (3-pass bf16, ~1e-6 rel) under bf16 features,
     #: whose quantization noise dwarfs the matmul rounding — ~2x faster.
     loss_precision: str = "highest"
+    #: VGG block1: 'xla' (lax convs) or 'pallas' (fused kernel; bf16
+    #: mixed-policy single-image runs only — see config.block1_impl).
+    block1_impl: str = "xla"
 
 
 def spec_from_config(
@@ -125,6 +128,19 @@ def spec_from_config(
     # the XLA impl there (vmap over pallas_call/custom_vjp may not
     # batch/lower on TPU)
     impl = "auto" if (cfg.use_pallas and not masked and not batched) else "xla"
+    # block1 kernel: 'auto' resolves to XLA — the fused Pallas block1 was
+    # built, verified, and MEASURED SLOWER than the lax convs (fwd 1.92 vs
+    # 1.23 ms, fwd+bwd 11.1 vs 2.7 ms at 512px; per-component attribution
+    # in docs/MXU.md — Mosaic relayouts for the shifted conv taps plus the
+    # C<=64 lane padding cost more than the XLA conv emitter's overhead).
+    # Kept as an explicit opt-in for future re-evaluation; single-image
+    # bf16-policy programs only (the batched path vmaps pairs; GSPMD
+    # sample-sharding partitions whole programs; f32 mode is the exactness
+    # mode with HIGHEST-precision convs).
+    b1 = cfg.block1_impl
+    if b1 == "auto" or batched or cfg.shard_samples or (
+            cfg.compute_dtype != "bfloat16"):
+        b1 = "xla"
     return StepSpec(
         sample_size=cfg.sample_size,
         vgg_type=cfg.vgg_type,
@@ -142,6 +158,7 @@ def spec_from_config(
         loss_precision=(
             "high" if cfg.compute_dtype == "bfloat16" else "highest"
         ),
+        block1_impl=b1,
     )
 
 
@@ -166,6 +183,7 @@ def extract_hypercolumn(spec: StepSpec, vgg_params, img: jnp.ndarray):
         vgg_type=spec.vgg_type,
         preprocess_mode=spec.preprocess_mode,
         compute_dtype=dtype,
+        block1_impl=spec.block1_impl,
     )
     return [img] + feats
 

@@ -209,3 +209,106 @@ def test_sinkhorn_streamed_grad_approximates_unrolled(rng):
     # measured ~0.946 at these sizes; the residual is the entropy-term
     # gradient the unrolled loss carries and the plan gradient does not
     assert cos > 0.9, f"plan grad diverges from unrolled: cos={cos}"
+
+
+# --- fused block1 ----------------------------------------------------------
+
+
+def _block1_ref(x, k1, b1, k2, b2):
+    """lax-conv reference of VGG block1 (both taps), f32 HIGHEST."""
+
+    def conv(h, k, b):
+        y = jax.lax.conv_general_dilated(
+            h[None], k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        return jnp.maximum(y + b, 0.0)
+
+    t1 = conv(x, k1, b1)
+    return t1, conv(t1, k2, b2)
+
+
+def _block1_weights(rng):
+    k1 = jnp.asarray(rng.standard_normal((3, 3, 3, 64)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(64) * 0.1, jnp.float32)
+    return k1, b1, k2, b2
+
+
+@pytest.mark.parametrize("shape,rows", [((13, 11), 4), ((16, 8), 8),
+                                        ((7, 21), 4)])
+def test_block1_pallas_forward_matches_lax(rng, shape, rows):
+    from strotss_tpu.ops.kernels.block1 import block1_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    h, w = shape
+    x = jnp.asarray(rng.standard_normal((h, w, 3)), jnp.float32)
+    k1, b1, k2, b2 = _block1_weights(rng)
+    t1r, t2r = _block1_ref(x, k1, b1, k2, b2)
+    t1, t2 = block1_pallas(x, k1, b1, k2, b2, rows, jnp.float32, interpret)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t1r),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t2r),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_block1_pallas_grad_matches_lax(rng):
+    from strotss_tpu.ops.kernels.block1 import block1_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    x = jnp.asarray(rng.standard_normal((13, 11, 3)), jnp.float32)
+    k1, b1, k2, b2 = _block1_weights(rng)
+    co1 = jnp.asarray(rng.standard_normal((13, 11, 64)), jnp.float32)
+    co2 = jnp.asarray(rng.standard_normal((13, 11, 64)), jnp.float32)
+
+    def loss(fn):
+        def f(x):
+            a, b = fn(x)
+            return jnp.sum(a * co1) + jnp.sum(b * co2)
+        return f
+
+    g_ref = jax.grad(loss(lambda x: _block1_ref(x, k1, b1, k2, b2)))(x)
+    g = jax.grad(loss(lambda x: block1_pallas(
+        x, k1, b1, k2, b2, 4, jnp.float32, interpret)))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_block1_pallas_weight_grads_are_zero(rng):
+    """Frozen-VGG contract: weight/bias cotangents are zeros by design."""
+    from strotss_tpu.ops.kernels.block1 import block1_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    x = jnp.asarray(rng.standard_normal((9, 10, 3)), jnp.float32)
+    k1, b1, k2, b2 = _block1_weights(rng)
+    grads = jax.grad(
+        lambda k1, b1, k2, b2: jnp.sum(block1_pallas(
+            x, k1, b1, k2, b2, 4, jnp.float32, interpret)[1]),
+        argnums=(0, 1, 2, 3),
+    )(k1, b1, k2, b2)
+    for g in grads:
+        assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_vgg_apply_block1_pallas_matches_xla(rng):
+    """The wired policy path: bf16 mixed features with the fused block1
+    agree with the lax-conv mixed policy within bf16 tolerance."""
+    from strotss_tpu.models.vgg import vgg_apply
+    from strotss_tpu.models.weights import random_params
+
+    params = random_params("16")
+    x = jnp.asarray(rng.random((1, 14, 12, 3)), jnp.float32)
+    taps = ("block1_conv1", "block1_conv2", "block2_conv1")
+    ref = vgg_apply(params, x, taps=taps, compute_dtype=jnp.bfloat16,
+                    block1_impl="xla")
+    got = vgg_apply(params, x, taps=taps, compute_dtype=jnp.bfloat16,
+                    block1_impl="pallas", block1_interpret=True)
+    assert got[0].dtype == ref[0].dtype
+    assert got[2].dtype == ref[2].dtype
+    for r, g in zip(ref, got):
+        r = np.asarray(r, np.float32)
+        g = np.asarray(g, np.float32)
+        scale = max(1e-6, np.abs(r).max())
+        assert np.abs(r - g).max() / scale < 2e-2

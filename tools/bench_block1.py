@@ -237,7 +237,17 @@ def main():
         y2 = conv_lax(y1, k2p, b2p, P.DEFAULT)
         return y1[..., :64], y2[..., :64]
 
+    from strotss_tpu.ops.kernels.block1 import block1_pallas
+
+    def block_pallas(x, rows):
+        t1, t2 = block1_pallas(x[0], k1, b1, k2, b2, rows, jnp.bfloat16)
+        return t1[None], t2[None]
+
     variants = {
+        # r8+ exceeds the 16 MB scoped-VMEM limit at 512px (measured:
+        # 22.5 MB); r4 is the widest strip that fits
+        "pallas_r2": lambda x: block_pallas(x, 2),
+        "pallas_r4": lambda x: block_pallas(x, 4),
         "policy_f32_default": lambda x: (
             lambda y1: (y1, conv_lax(y1, k2, b2, P.DEFAULT)))(
                 conv_lax(x, k1, b1, P.DEFAULT)),
@@ -265,11 +275,16 @@ def main():
             conv_lax(x, k1, b1, P.HIGHEST)))(img)
     want2 = np.asarray(want2)
     for name, fn in variants.items():
-        got2 = np.asarray(jax.jit(fn)(img)[1], np.float32)
-        err = float(np.max(np.abs(want2 - got2)) /
-                    max(1e-9, np.max(np.abs(want2))))
-        print(json.dumps({"variant": name,
-                          "conv2_max_rel_err": round(err, 6)}), flush=True)
+        try:
+            got2 = np.asarray(jax.jit(fn)(img)[1], np.float32)
+            err = float(np.max(np.abs(want2 - got2)) /
+                        max(1e-9, np.max(np.abs(want2))))
+            row = {"variant": name, "conv2_max_rel_err": round(err, 6)}
+        except Exception as e:
+            row = {"variant": name,
+                   "error": f"{type(e).__name__}: "
+                            f"{str(e).splitlines()[0][:160]}"}
+        print(json.dumps(row), flush=True)
 
     print(f"# block1 at ({h}, {w}); {gf:.1f} GF analytic; "
           f"scan-amortized over {args.steps} steps", flush=True)
