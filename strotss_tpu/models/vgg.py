@@ -24,6 +24,7 @@ Two preprocessing modes, as in the reference (``nn/model.py:30-38,50-51``):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -130,16 +131,29 @@ def _conv(
     return jnp.maximum(y, 0.0)
 
 
+# A/B hook (read once at import; programs are retraced per process):
+# 'reshape' = reshape+max over window axes, 'window' = lax.reduce_window.
+# Forwards are identical; VJPs differ only on exact in-window ties (max
+# splits the cotangent among ties; select-and-scatter picks one, which is
+# TF MaxPoolGrad's routing) — post-ReLU, ties are either zeros (whose
+# gradient the upstream ReLU mask kills regardless) or measure-zero float
+# coincidences. Measured (v5e): in ISOLATION reduce_window edges ahead at
+# the pool1 shape (fwd+bwd 2.86 vs 3.11 ms, tools/bench_pool.py; the old
+# "select-and-scatter is catastrophic" claim no longer holds), but inside
+# the FULL 512px step program it is slower (12.16 vs 11.76 ms/step,
+# tools/trace_step.py) — reshape+max fuses into the surrounding conv
+# dgrad pipeline where select-and-scatter cannot. reshape stays default.
+_POOL_IMPL = os.environ.get("STROTSS_POOL_IMPL", "reshape")
+
+
 def _maxpool(x: jnp.ndarray) -> jnp.ndarray:
-    # Keras MaxPooling2D: 2x2 window, stride 2, VALID padding — expressed
-    # as reshape + max over the window axes instead of reduce_window. The
-    # forward is identical; the REASON is the backward: reduce_window's
-    # VJP lowers to select-and-scatter, which is extremely slow on TPU,
-    # while reshape-max differentiates into elementwise VPU ops. The only
-    # gradient difference is on exact ties inside a window (JAX's max VJP
-    # splits the cotangent among ties; select-and-scatter picks one) —
-    # post-ReLU, ties are either zeros (whose gradient the upstream ReLU
-    # mask kills regardless) or measure-zero float coincidences.
+    # Keras MaxPooling2D: 2x2 window, stride 2, VALID padding.
+    if _POOL_IMPL == "window":
+        # init MUST be the python scalar -inf: an array init becomes a
+        # traced constant under lax.scan, defeating the reduce-window-max
+        # pattern match and leaving the undifferentiable generic primitive
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     n, h, w, c = x.shape
     x = x[:, : h // 2 * 2, : w // 2 * 2, :]
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)

@@ -28,6 +28,7 @@ gathered once per scale on the full grid with nearest-neighbor lookup.
 from __future__ import annotations
 
 import math
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -228,6 +229,45 @@ def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(g * wts, axis=0)
 
 
+def bilinear_weight_matrix(
+    hw: Tuple[int, int], coords: jnp.ndarray
+) -> jnp.ndarray:
+    """Dense (n, h·w) f32 matrix performing the 4-tap bilinear lookup.
+
+    Row ``i`` holds the four corner weights of ``coords[i]`` at the
+    corners' flat positions (clipped duplicates accumulate, matching the
+    gather's weighted sum). Built with 4 compare-and-add passes over the
+    (n, h·w) plane — no scatter. ``W @ fmap.reshape(h·w, c)`` equals
+    ``bilinear_gather(fmap, coords)`` exactly (in f32/HIGHEST), and its
+    VJP is the transposed matmul: sampling becomes two MXU matmuls
+    instead of a gather plus a scatter-add, which is the winning
+    formulation on TPU wherever h·w is small (see
+    ``sample_hypercolumn``'s gate and tools/bench_gather.py).
+    """
+    h, w = hw
+    gx, gy = coords[:, 0], coords[:, 1]
+    gxf = jnp.floor(gx)
+    gyf = jnp.floor(gy)
+    dx = (gx - gxf).astype(jnp.float32)
+    dy = (gy - gyf).astype(jnp.float32)
+
+    x0 = jnp.clip(gxf, 0, h - 1).astype(jnp.int32)
+    y0 = jnp.clip(gyf, 0, w - 1).astype(jnp.int32)
+    x1 = jnp.clip(gxf + 1, 0, h - 1).astype(jnp.int32)
+    y1 = jnp.clip(gyf + 1, 0, w - 1).astype(jnp.int32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], h * w), 1)
+    mat = jnp.zeros((coords.shape[0], h * w), jnp.float32)
+    for idx, wt in (
+        (x0 * w + y0, (1 - dx) * (1 - dy)),
+        (x0 * w + y1, (1 - dx) * dy),
+        (x1 * w + y0, dx * (1 - dy)),
+        (x1 * w + y1, dx * dy),
+    ):
+        mat = mat + jnp.where(pos == idx[:, None], wt[:, None], 0.0)
+    return mat
+
+
 def nearest_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Truncating nearest lookup (clip float coords, cast to int32)."""
     fmap = _squeeze_map(fmap)
@@ -237,30 +277,73 @@ def nearest_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(fmap.reshape(h * w, c), gx * w + gy, axis=0)
 
 
+# Bilinear sampling rides one-hot MXU matmuls for the WHOLE hypercolumn
+# when the largest (base-resolution) map has at most this many pixels;
+# otherwise every map keeps the fused 4-corner gather. All-or-nothing on
+# the base map, not per-map, and the boundary is measured, full-step,
+# on v5e (tools/bench_gather.py isolation + tools/trace_step.py in
+# situ): the 64px step drops 2.28 → 1.87 ms/step (−18%) all-matmul, but
+# 128px (base 10880 px) regresses 2.75 → 3.02 — the n×h·w weight-matrix
+# build outgrows the saved gather overhead — and gating ONLY the small
+# deep taps at 512px is strictly slower (5.04 → 5.43/6.09 ms segment
+# time): the win comes from replacing the base-resolution gathers or
+# nothing. 4096 admits exactly the 64px scale class, where 200 of the
+# default run's 800 steps execute. Env override for A/B runs.
+_MATMUL_PX = int(os.environ.get("STROTSS_SAMPLE_MATMUL_PX", "4096"))
+
+
 def sample_hypercolumn(
     feats: Sequence[jnp.ndarray],
     coords: jnp.ndarray,
     bilinear: bool = True,
+    matmul_px: int = -1,
 ) -> jnp.ndarray:
-    """Gather every feature map at (rescaled) ``coords``; concat channels.
+    """Sample every feature map at (rescaled) ``coords``; concat channels.
 
-    One gather per map. (Channel-concatenating same-resolution maps to
-    share a gather was measured SLOWER on TPU: the per-step concat
-    materialization on the prediction side costs more than the saved
-    per-gather overhead — the 4-corner fusion inside ``bilinear_gather``
-    already amortizes most of the fixed cost.)
+    Bilinear sampling dispatches by the static base-map pixel count (see
+    ``_MATMUL_PX``): at coarse scales the whole hypercolumn rides one-hot
+    MXU matmuls (``bilinear_weight_matrix`` — shared across maps with the
+    same shape+factor; VJP is the transposed matmul instead of a
+    scatter-add), at fine scales every map uses the fused 4-corner
+    gather. Both formulations are numerically identical (weights exact
+    f32, HIGHEST matmul) — the gate is pure performance and never
+    perturbs parity. (Channel-concatenating same-resolution maps to share
+    a gather was measured SLOWER on TPU: the per-step concat
+    materialization costs more than the saved per-gather overhead.)
 
     Returns float32 (n, total_channels) — the hypercolumn matrix that all
     losses consume (2179 channels for the default VGG16 tap set + image).
     """
+    if matmul_px < 0:
+        matmul_px = _MATMUL_PX
     shapes = [(_squeeze_map(f).shape[0], _squeeze_map(f).shape[1]) for f in feats]
     factors = coordinate_factors(shapes)
+    use_matmul = bilinear and max(h * w for h, w in shapes) <= matmul_px
+    mats: dict = {}
     parts = []
-    for fmap, fac in zip(feats, factors):
+    for fmap, (hw, fac) in zip(feats, zip(shapes, factors)):
         c = coords * fac if fac != 1.0 else coords
-        g = bilinear_gather(fmap, c) if bilinear else nearest_gather(fmap, c)
+        if not bilinear:
+            g = nearest_gather(fmap, c)
+        elif use_matmul:
+            key = (hw, fac)
+            if key not in mats:
+                mats[key] = bilinear_weight_matrix(hw, c)
+            flat = _squeeze_map(fmap).reshape(hw[0] * hw[1], -1)
+            g = jnp.dot(mats[key], flat.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST)
+        else:
+            g = bilinear_gather(fmap, c)
         parts.append(g.astype(jnp.float32))
     return jnp.concatenate(parts, axis=1)
+
+
+def sample_hypercolumn_matmul(
+    feats: Sequence[jnp.ndarray], coords: jnp.ndarray
+) -> jnp.ndarray:
+    """All-matmul bilinear hypercolumn (gate forced open; tests/bench)."""
+    return sample_hypercolumn(feats, coords, bilinear=True,
+                              matmul_px=2 ** 62)
 
 
 # --------------------------------------------------------------------------

@@ -138,3 +138,32 @@ def test_prepare_mask_allpass():
     m2 = jnp.zeros((20, 20, 1), jnp.float32).at[:10].set(1.0)
     out2 = np.asarray(prepare_mask(m2, (10, 10)))
     assert out2[:4].all() and not out2[6:].any()
+
+
+def test_matmul_hypercolumn_matches_gather(rng):
+    # the one-hot-matmul formulation is numerically identical to the
+    # fused 4-corner gather (f32 maps, HIGHEST matmul), incl. shared
+    # weight matrices across same-resolution maps and clipped borders
+    feats = [jnp.asarray(rng.standard_normal((13, 11, 3)), jnp.float32),
+             jnp.asarray(rng.standard_normal((13, 11, 5)), jnp.float32),
+             jnp.asarray(rng.standard_normal((7, 6, 4)), jnp.float32),
+             jnp.asarray(rng.standard_normal((4, 3, 2)), jnp.float32)]
+    coords = jnp.concatenate([
+        S.strided_grid_coords(jax.random.PRNGKey(3), (13, 11), 32),
+        jnp.asarray([[0.0, 0.0], [12.0, 10.0], [12.9, 10.9], [-0.5, 3.2]],
+                    jnp.float32),
+    ])
+    a = S.sample_hypercolumn(feats, coords, bilinear=True)
+    b = S.sample_hypercolumn_matmul(feats, coords)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-6)
+
+    def loss(fn):
+        return lambda p: jnp.sum(
+            fn([feats[0], p] + feats[2:], coords) ** 2)
+
+    ga = jax.grad(loss(lambda fs, c: S.sample_hypercolumn(
+        fs, c, bilinear=True)))(feats[1])
+    gb = jax.grad(loss(S.sample_hypercolumn_matmul))(feats[1])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=1e-6, rtol=1e-6)
