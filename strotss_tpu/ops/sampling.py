@@ -280,16 +280,31 @@ def nearest_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 # Bilinear sampling rides one-hot MXU matmuls for the WHOLE hypercolumn
 # when the largest (base-resolution) map has at most this many pixels;
 # otherwise every map keeps the fused 4-corner gather. All-or-nothing on
-# the base map, not per-map, and the boundary is measured, full-step,
-# on v5e (tools/bench_gather.py isolation + tools/trace_step.py in
-# situ): the 64px step drops 2.28 → 1.87 ms/step (−18%) all-matmul, but
-# 128px (base 10880 px) regresses 2.75 → 3.02 — the n×h·w weight-matrix
-# build outgrows the saved gather overhead — and gating ONLY the small
-# deep taps at 512px is strictly slower (5.04 → 5.43/6.09 ms segment
-# time): the win comes from replacing the base-resolution gathers or
-# nothing. 4096 admits exactly the 64px scale class, where 200 of the
-# default run's 800 steps execute. Env override for A/B runs.
-_MATMUL_PX = int(os.environ.get("STROTSS_SAMPLE_MATMUL_PX", "4096"))
+# the base map, not per-map, and the boundary is measured, full-step, on
+# v5e (tools/bench_gather.py isolation + tools/trace_step.py in situ):
+# gating ONLY the small deep taps is strictly slower at every scale (the
+# win comes from replacing the base-resolution gathers or nothing), and
+# the crossover depends on the matmul precision, so the gate is derived
+# from it:
+#
+#   'high' (3-pass bf16, ~1e-6 rel — the bf16 mode's loss precision;
+#   deviations this size are absorbed bit-exactly by the f32 pyramid
+#   state, docs/PARITY.md): 64px step 2.28 → 1.78 ms (−22%), 128px
+#   2.75 → 2.64 — gate 12288 admits both coarse scales (bases
+#   2688/10880 px), where 600 of the default run's 800 steps execute.
+#
+#   'highest' (6-pass, numerically IDENTICAL to the gather — the f32
+#   exactness mode): 64px 2.28 → 1.87, but 128px regresses to 3.02 (the
+#   6-pass matmuls outgrow the saved gather overhead) — gate 4096.
+#
+# Env overrides for A/B runs only.
+_MATMUL_PX = {"high": 12288, "highest": 4096}
+_MATMUL_PX_ENV = os.environ.get("STROTSS_SAMPLE_MATMUL_PX")
+_PREC_ENV = os.environ.get("STROTSS_SAMPLE_MATMUL_PREC")
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}
 
 
 def sample_hypercolumn(
@@ -297,6 +312,7 @@ def sample_hypercolumn(
     coords: jnp.ndarray,
     bilinear: bool = True,
     matmul_px: int = -1,
+    matmul_prec: str = "highest",
 ) -> jnp.ndarray:
     """Sample every feature map at (rescaled) ``coords``; concat channels.
 
@@ -305,17 +321,22 @@ def sample_hypercolumn(
     MXU matmuls (``bilinear_weight_matrix`` — shared across maps with the
     same shape+factor; VJP is the transposed matmul instead of a
     scatter-add), at fine scales every map uses the fused 4-corner
-    gather. Both formulations are numerically identical (weights exact
-    f32, HIGHEST matmul) — the gate is pure performance and never
-    perturbs parity. (Channel-concatenating same-resolution maps to share
-    a gather was measured SLOWER on TPU: the per-step concat
+    gather. ``matmul_prec='highest'`` is numerically identical to the
+    gather (exact f32 weights); ``'high'`` matches the bf16 mode's loss
+    precision (~1e-6 rel) and halves the matmul passes, moving the
+    crossover. (Channel-concatenating same-resolution maps to share a
+    gather was measured SLOWER on TPU: the per-step concat
     materialization costs more than the saved per-gather overhead.)
 
     Returns float32 (n, total_channels) — the hypercolumn matrix that all
     losses consume (2179 channels for the default VGG16 tap set + image).
     """
+    prec_name = _PREC_ENV or matmul_prec
     if matmul_px < 0:
-        matmul_px = _MATMUL_PX
+        if _MATMUL_PX_ENV is not None:
+            matmul_px = int(_MATMUL_PX_ENV)
+        else:
+            matmul_px = _MATMUL_PX[prec_name]
     shapes = [(_squeeze_map(f).shape[0], _squeeze_map(f).shape[1]) for f in feats]
     factors = coordinate_factors(shapes)
     use_matmul = bilinear and max(h * w for h, w in shapes) <= matmul_px
@@ -331,7 +352,7 @@ def sample_hypercolumn(
                 mats[key] = bilinear_weight_matrix(hw, c)
             flat = _squeeze_map(fmap).reshape(hw[0] * hw[1], -1)
             g = jnp.dot(mats[key], flat.astype(jnp.float32),
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_PRECISIONS[prec_name])
         else:
             g = bilinear_gather(fmap, c)
         parts.append(g.astype(jnp.float32))
@@ -368,18 +389,23 @@ def sample_paired(
     ys: Sequence[jnp.ndarray],
     sample_size: int,
     mask: Optional[jnp.ndarray] = None,
+    matmul_prec: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Content/prediction sampling at shared coords: strided grid, bilinear.
 
     Every optimization step draws a fresh grid offset and subset (the
     reference's stateful RNG ops re-execute inside ``tf.function``;
-    here the key is threaded through the scan).
+    here the key is threaded through the scan). ``matmul_prec`` follows
+    the caller's loss precision ('high' under the bf16 policy, 'highest'
+    under f32 — see ``sample_hypercolumn``).
     """
     base = _squeeze_map(xs[0])
     coords = strided_grid_coords(key, base.shape[:2], sample_size, mask)
     return (
-        sample_hypercolumn(xs, coords, bilinear=True),
-        sample_hypercolumn(ys, coords, bilinear=True),
+        sample_hypercolumn(xs, coords, bilinear=True,
+                           matmul_prec=matmul_prec),
+        sample_hypercolumn(ys, coords, bilinear=True,
+                           matmul_prec=matmul_prec),
     )
 
 

@@ -484,7 +484,8 @@ def _step_losses(spec, content_feats, pred, style_targets, content_masks,
 
     def one(target, tmom, mask, k):
         c_feat, p_feat = sample_paired(
-            k, content_feats, pred, spec.sample_size, mask
+            k, content_feats, pred, spec.sample_size, mask,
+            matmul_prec=spec.loss_precision,
         )
         if spec.shard_samples:
             c_feat = _shard_samples_constraint(c_feat, mesh)
