@@ -230,7 +230,8 @@ def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def bilinear_weight_matrix(
-    hw: Tuple[int, int], coords: jnp.ndarray
+    hw: Tuple[int, int], coords: jnp.ndarray,
+    integer_coords: bool = False,
 ) -> jnp.ndarray:
     """Dense (n, h·w) f32 matrix performing the 4-tap bilinear lookup.
 
@@ -243,9 +244,21 @@ def bilinear_weight_matrix(
     instead of a gather plus a scatter-add, which is the winning
     formulation on TPU wherever h·w is small (see
     ``sample_hypercolumn``'s gate and tools/bench_gather.py).
+
+    ``integer_coords=True`` asserts every coordinate is an exact integer
+    (true for the strided/full sampling grids at base resolution): the
+    bilinear weights degenerate to a single 1.0 at corner (x0, y0) and
+    the build is one compare pass instead of four — bit-identical
+    output, the remaining three corners carry exact zeros.
     """
     h, w = hw
     gx, gy = coords[:, 0], coords[:, 1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], h * w), 1)
+    if integer_coords:
+        x0 = jnp.clip(gx, 0, h - 1).astype(jnp.int32)
+        y0 = jnp.clip(gy, 0, w - 1).astype(jnp.int32)
+        idx = x0 * w + y0
+        return (pos == idx[:, None]).astype(jnp.float32)
     gxf = jnp.floor(gx)
     gyf = jnp.floor(gy)
     dx = (gx - gxf).astype(jnp.float32)
@@ -256,7 +269,6 @@ def bilinear_weight_matrix(
     x1 = jnp.clip(gxf + 1, 0, h - 1).astype(jnp.int32)
     y1 = jnp.clip(gyf + 1, 0, w - 1).astype(jnp.int32)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], h * w), 1)
     mat = jnp.zeros((coords.shape[0], h * w), jnp.float32)
     for idx, wt in (
         (x0 * w + y0, (1 - dx) * (1 - dy)),
@@ -313,8 +325,16 @@ def sample_hypercolumn(
     bilinear: bool = True,
     matmul_px: int = -1,
     matmul_prec: str = "highest",
+    integer_coords: bool = False,
 ) -> jnp.ndarray:
     """Sample every feature map at (rescaled) ``coords``; concat channels.
+
+    ``integer_coords=True`` asserts the BASE-resolution coords are exact
+    integers (true for both sampling grids): maps with coordinate factor
+    1.0 then skip the 4-corner interpolation — a single-row gather /
+    one-pass weight matrix, bit-identical by construction (the dropped
+    corners carry exact zero weights). Deeper maps (fractional factor)
+    are unaffected.
 
     Bilinear sampling dispatches by the static base-map pixel count (see
     ``_MATMUL_PX``): at coarse scales the whole hypercolumn rides one-hot
@@ -344,15 +364,19 @@ def sample_hypercolumn(
     parts = []
     for fmap, (hw, fac) in zip(feats, zip(shapes, factors)):
         c = coords * fac if fac != 1.0 else coords
+        exact = integer_coords and fac == 1.0
         if not bilinear:
             g = nearest_gather(fmap, c)
         elif use_matmul:
             key = (hw, fac)
             if key not in mats:
-                mats[key] = bilinear_weight_matrix(hw, c)
+                mats[key] = bilinear_weight_matrix(hw, c, exact)
             flat = _squeeze_map(fmap).reshape(hw[0] * hw[1], -1)
             g = jnp.dot(mats[key], flat.astype(jnp.float32),
                         precision=_PRECISIONS[prec_name])
+        elif exact:
+            # integer coords: bilinear == nearest, 4x less gather traffic
+            g = nearest_gather(fmap, c)
         else:
             g = bilinear_gather(fmap, c)
         parts.append(g.astype(jnp.float32))
@@ -401,11 +425,13 @@ def sample_paired(
     """
     base = _squeeze_map(xs[0])
     coords = strided_grid_coords(key, base.shape[:2], sample_size, mask)
+    # the strided grid's base coords are exact integers -> the factor-1.0
+    # maps skip the (degenerate) 4-corner interpolation, bit-identically
     return (
         sample_hypercolumn(xs, coords, bilinear=True,
-                           matmul_prec=matmul_prec),
+                           matmul_prec=matmul_prec, integer_coords=True),
         sample_hypercolumn(ys, coords, bilinear=True,
-                           matmul_prec=matmul_prec),
+                           matmul_prec=matmul_prec, integer_coords=True),
     )
 
 
@@ -439,9 +465,12 @@ class Sampling:
             coords = strided_grid_coords(key, hw, self.sample_size, mask)
         else:
             coords = full_grid_coords(key, hw, self.sample_size, mask)
-        ret = sample_hypercolumn(xs, coords, bilinear=bilinear_sampling)
+        # both grids produce exact-integer base coords (see sample_paired)
+        ret = sample_hypercolumn(xs, coords, bilinear=bilinear_sampling,
+                                 integer_coords=True)
         if ys is not None:
-            return ret, sample_hypercolumn(ys, coords, bilinear=bilinear_sampling)
+            return ret, sample_hypercolumn(
+                ys, coords, bilinear=bilinear_sampling, integer_coords=True)
         return ret
 
     def bilinear(self, xs, ys=None, mask=None):

@@ -167,3 +167,23 @@ def test_matmul_hypercolumn_matches_gather(rng):
     gb = jax.grad(loss(S.sample_hypercolumn_matmul))(feats[1])
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_integer_coords_paths_bit_identical(rng):
+    # grid coords are exact integers at base resolution; the degenerate
+    # single-corner gather / one-pass weight matrix must be BIT-identical
+    # to the full 4-corner bilinear formulations
+    feats = [jnp.asarray(rng.standard_normal((12, 10, 3)), jnp.float32),
+             jnp.asarray(rng.standard_normal((12, 10, 5)), jnp.float32),
+             jnp.asarray(rng.standard_normal((6, 5, 4)), jnp.float32)]
+    coords = S.strided_grid_coords(jax.random.PRNGKey(5), (12, 10), 24)
+    for px in (0, 2 ** 62):  # gather regime and matmul regime
+        a = S.sample_hypercolumn(feats, coords, bilinear=True,
+                                 matmul_px=px, integer_coords=False)
+        b = S.sample_hypercolumn(feats, coords, bilinear=True,
+                                 matmul_px=px, integer_coords=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # weight matrix itself: one-pass == four-pass on integer coords
+    wa = S.bilinear_weight_matrix((12, 10), coords)
+    wb = S.bilinear_weight_matrix((12, 10), coords, integer_coords=True)
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
