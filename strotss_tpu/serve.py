@@ -1,0 +1,272 @@
+"""Persistent serving loop: one process, many stylizations.
+
+Single-shot CLI latency is dominated by one-time costs — program
+compiles and the remote program load (tens of seconds through a
+compile relay) — while the steady-state run is ~4.3 s/image on one
+v5e. The per-scale programs are jit-cached in-process by shape
+(``solve.run_scale``), so a long-lived serving process pays the
+one-time costs on the first job of each shape bucket and then runs
+every subsequent same-shaped job at steady state. This is the
+deployment analogue of the reference's batch scripting around
+``run_strotss.py`` (``/root/reference/run_strotss.py:164-180``), which
+re-pays its tf.function retraces on every process start.
+
+Job stream: JSON Lines — one job per line — from a file, or from stdin
+(``--jobs -``) for queue-fed operation:
+
+    {"content": "c.jpg", "style": "s.jpg", "output": "out.jpg"}
+
+Optional per-job fields: ``content_mask``/``style_mask`` (paths, both
+or neither), ``alpha``, ``seed``. Shared knobs (resolution schedule,
+dtype, iterations, ...) come from the CLI flags. One result line per
+job streams to ``--results`` (default stdout) as soon as it finishes:
+
+    {"output": "out.jpg", "ok": true, "seconds": 4.31, "loss": 0.021}
+
+A failing job (missing file, bad mask pairing, corrupt image) emits
+``{"ok": false, "error": ...}`` and the loop continues — a serving
+process must not die on one bad job.
+
+Batching: with ``--batch N`` consecutive unmasked, override-free jobs
+whose loaded shapes match are grouped through ``stylize_batch`` (B
+pairs per program; per-pair EXACT — each trajectory equals its single
+run, see ``parallel/batch.py``), which amortizes to ~3.75 s/image at
+B=8 on one chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Dict, List, Optional
+
+from strotss_tpu.config import StrotssConfig
+from strotss_tpu.utils.logging import make_logger
+
+logger = make_logger("STROTSS")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="strotss_tpu.serve",
+        description="TPU-native STROTSS serving loop (JSONL jobs in, "
+                    "JSONL results out; compiled programs stay warm)",
+    )
+    parser.add_argument("--jobs", type=str, default="-",
+                        help="JSONL job file, or '-' to stream from stdin")
+    parser.add_argument("--results", type=str, default="-",
+                        help="JSONL results file, or '-' for stdout")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="group up to N consecutive same-shape unmasked "
+                             "jobs into one per-pair-exact batched program")
+    # shared stylization knobs (same names/defaults as the main CLI)
+    parser.add_argument("--max_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=2e-3)
+    parser.add_argument("--level", type=int, default=4)
+    parser.add_argument("--max_iter", type=int, default=200)
+    parser.add_argument("--alpha", type=float, default=1.0)
+    parser.add_argument("--use_keras_weight", action="store_true")
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no_pallas", action="store_true")
+    parser.add_argument("--sinkhorn", action="store_true")
+    parser.add_argument("--sample_size", type=int, default=1024)
+    parser.add_argument("--taps", type=str, default=None)
+    parser.add_argument("--device_id", "--gpu_id", type=int, default=0,
+                        dest="device_id")
+    return parser
+
+
+def _config(args, job: Dict) -> StrotssConfig:
+    return StrotssConfig(
+        lr=args.lr,
+        levels=args.level,
+        max_iter=args.max_iter,
+        alpha=float(job.get("alpha", args.alpha)),
+        max_size=args.max_size,
+        sample_size=args.sample_size,
+        use_keras_weight=args.use_keras_weight,
+        compute_dtype=args.compute_dtype,
+        seed=int(job.get("seed", args.seed)),
+        log_every=args.max_iter,  # one chunk per scale: fastest
+        use_pallas=not args.no_pallas,
+        precompile=False,  # rely on the in-process jit cache across jobs
+        use_sinkhorn=args.sinkhorn,
+        taps=tuple(args.taps.split(",")) if args.taps else None,
+    )
+
+
+def _load_job_inputs(args, job: Dict):
+    from strotss_tpu.ops.masks import load_mask
+    from strotss_tpu.utils.io import load_image
+
+    for field in ("content", "style", "output"):
+        if field not in job:
+            raise ValueError(f"job is missing required field '{field}'")
+    content = load_image(job["content"], max_size=args.max_size)
+    style = load_image(job["style"], max_size=args.max_size)
+    cmask = smask = None
+    has_c, has_s = "content_mask" in job, "style_mask" in job
+    if has_c != has_s:
+        raise ValueError(
+            "Either both content and style masks must be provided or neither."
+        )
+    if has_c:
+        cmask, smask = load_mask(job["content_mask"], job["style_mask"],
+                                 max_size=args.max_size)
+    return content, style, cmask, smask
+
+
+def _final_loss(info: Dict) -> Optional[float]:
+    scales = info.get("scales") or []
+    if scales and "loss" in scales[-1]:
+        return float(scales[-1]["loss"])
+    return None
+
+
+def _run_single(args, job: Dict, vgg_params) -> Dict:
+    from strotss_tpu.api import stylize
+    from strotss_tpu.utils.io import write_image
+
+    content, style, cmask, smask = _load_job_inputs(args, job)
+    t0 = time.perf_counter()
+    img, info = stylize(content, style, _config(args, job),
+                        content_masks=cmask, style_masks=smask,
+                        vgg_params=vgg_params)
+    write_image(img, job["output"])
+    out = {"output": job["output"], "ok": True,
+           "seconds": round(time.perf_counter() - t0, 3)}
+    loss = _final_loss(info)
+    if loss is not None:
+        out["loss"] = loss
+    return out
+
+
+def _batchable(job: Dict) -> bool:
+    # batched pairs share one config; per-job overrides and masks opt out
+    return not any(k in job for k in
+                   ("content_mask", "style_mask", "alpha", "seed"))
+
+
+def _run_batch(args, jobs: List[Dict], vgg_params) -> List[Dict]:
+    import jax.numpy as jnp
+
+    from strotss_tpu.parallel.batch import stylize_batch
+    from strotss_tpu.utils.io import load_image, write_image
+
+    contents, styles = [], []
+    for job in jobs:
+        c, s, _, _ = _load_job_inputs(args, job)
+        contents.append(c)
+        styles.append(s)
+    t0 = time.perf_counter()
+    imgs, info = stylize_batch(jnp.concatenate(contents),
+                               jnp.concatenate(styles),
+                               _config(args, jobs[0]), vgg_params=vgg_params)
+    per = round((time.perf_counter() - t0) / len(jobs), 3)
+    results = []
+    for b, job in enumerate(jobs):
+        write_image(imgs[b], job["output"])
+        results.append({"output": job["output"], "ok": True,
+                        "seconds": per, "batched": len(jobs)})
+    return results
+
+
+def _job_lines(path: str):
+    stream = sys.stdin if path == "-" else open(path)
+    try:
+        for line in stream:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line
+    finally:
+        if stream is not sys.stdin:
+            stream.close()
+
+
+def _shape_sig(args, job: Dict):
+    """Loaded-image shape signature for batch grouping (header-only read)."""
+    from strotss_tpu.utils.io import image_size
+
+    try:
+        return (image_size(job["content"], max_size=args.max_size),
+                image_size(job["style"], max_size=args.max_size))
+    except Exception:
+        return None  # let the single path surface the real error
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from strotss_tpu.cli import enable_compile_cache, set_device
+
+    enable_compile_cache()
+    set_device(args.device_id)
+
+    from strotss_tpu.models.weights import load_vgg_params
+
+    vgg_params = load_vgg_params(
+        "16", args.use_keras_weight)  # shared across all jobs
+
+    out = sys.stdout if args.results == "-" else open(args.results, "w")
+
+    def emit(result: Dict):
+        out.write(json.dumps(result) + "\n")
+        out.flush()
+
+    def run(jobs: List[Dict]):
+        try:
+            if len(jobs) > 1:
+                for r in _run_batch(args, jobs, vgg_params):
+                    emit(r)
+                return
+            emit(_run_single(args, jobs[0], vgg_params))
+        except Exception as e:  # serving survives bad jobs
+            for job in jobs:
+                emit({"output": job.get("output"), "ok": False,
+                      "error": f"{type(e).__name__}: {e}"})
+
+    n_done = 0
+    t_start = time.perf_counter()
+    pending: List[Dict] = []
+    pending_sig = None
+    try:
+        for line in _job_lines(args.jobs):
+            try:
+                job = json.loads(line)
+                if not isinstance(job, dict):
+                    raise ValueError("job line must be a JSON object")
+            except ValueError as e:
+                emit({"ok": False, "error": f"bad job line: {e}"})
+                continue
+            sig = (_shape_sig(args, job)
+                   if args.batch > 1 and _batchable(job) else None)
+            if pending and (sig is None or sig != pending_sig
+                            or len(pending) >= args.batch):
+                run(pending)
+                n_done += len(pending)
+                pending = []
+            if sig is None:
+                run([job])
+                n_done += 1
+            else:
+                pending.append(job)
+                pending_sig = sig
+        if pending:
+            run(pending)
+            n_done += len(pending)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    logger.info(
+        f"Served {n_done} jobs in {time.perf_counter() - t_start:.2f}s."
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

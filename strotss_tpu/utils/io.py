@@ -53,6 +53,25 @@ def load_image(
     return img
 
 
+def image_size(path: str, max_size: Optional[int] = None):
+    """(H, W) that :func:`load_image` would produce — header-only read.
+
+    PIL's ``open`` is lazy (no pixel decode), so this is cheap enough to
+    group jobs by shape before loading them (``strotss_tpu.serve``).
+    Mirrors ``resize_max``'s truncating arithmetic exactly.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"File not found: {path}")
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    if max_size is None:
+        return (h, w)
+    factor = max(h / max_size, w / max_size)
+    return (int(h / factor), int(w / factor))
+
+
 def write_image(image, path: str) -> None:
     """Write an HWC or 1HWC uint8 (or float [0,1]) image as JPEG/PNG."""
     arr = np.asarray(image)

@@ -1,0 +1,78 @@
+"""Serving loop: JSONL jobs in, JSONL results out, survives bad jobs."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_inputs(tmp_path, rng):
+    from PIL import Image
+
+    c = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    s = (rng.random((44, 36, 3)) * 255).astype(np.uint8)
+    cp, sp = str(tmp_path / "c.png"), str(tmp_path / "s.png")
+    Image.fromarray(c).save(cp)
+    Image.fromarray(s).save(sp)
+    return cp, sp
+
+
+def _serve(tmp_path, jobs, extra=()):
+    from strotss_tpu.serve import main
+
+    jp = str(tmp_path / "jobs.jsonl")
+    rp = str(tmp_path / "results.jsonl")
+    with open(jp, "w") as f:
+        for job in jobs:
+            f.write((job if isinstance(job, str) else json.dumps(job)) + "\n")
+    rc = main(["--jobs", jp, "--results", rp,
+               "--level", "1", "--max_iter", "2",
+               "--compute_dtype", "float32", "--no_pallas",
+               "--taps", "block1_conv1", *extra])
+    assert rc == 0
+    with open(rp) as f:
+        return [json.loads(line) for line in f]
+
+
+@pytest.mark.slow
+def test_serve_singles_and_bad_jobs(tmp_path, rng):
+    cp, sp = _write_inputs(tmp_path, rng)
+    o1, o2 = str(tmp_path / "o1.jpg"), str(tmp_path / "o2.jpg")
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": o1},
+        "this is not json {",
+        {"content": str(tmp_path / "missing.png"), "style": sp,
+         "output": str(tmp_path / "o_bad.jpg")},
+        {"content": cp, "style": sp},  # missing 'output'
+        # same shapes as job 1 -> reuses the in-process compiled programs
+        {"content": cp, "style": sp, "output": o2, "seed": 7},
+    ])
+    assert [r["ok"] for r in results] == [True, False, False, False, True]
+    assert os.path.exists(o1) and os.path.exists(o2)
+    assert "FileNotFoundError" in results[2]["error"]
+    assert "output" in results[3]["error"]
+    assert results[0]["seconds"] > 0 and "loss" in results[0]
+    # different seeds -> different images (the per-job override is live)
+    from PIL import Image
+
+    a = np.asarray(Image.open(o1)).astype(int)
+    b = np.asarray(Image.open(o2)).astype(int)
+    assert a.shape == b.shape and np.abs(a - b).max() > 0
+
+
+@pytest.mark.slow
+def test_serve_batch_groups_same_shape_jobs(tmp_path, rng):
+    cp, sp = _write_inputs(tmp_path, rng)
+    outs = [str(tmp_path / f"b{i}.jpg") for i in range(3)]
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": outs[0]},
+        {"content": cp, "style": sp, "output": outs[1]},
+        # masked/overridden jobs opt out of batching -> runs single
+        {"content": cp, "style": sp, "output": outs[2], "alpha": 8.0},
+    ], extra=("--batch", "2"))
+    assert [r["ok"] for r in results] == [True, True, True]
+    assert results[0].get("batched") == 2 and results[1].get("batched") == 2
+    assert "batched" not in results[2]
+    for o in outs:
+        assert os.path.exists(o)
