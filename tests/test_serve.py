@@ -76,3 +76,40 @@ def test_serve_batch_groups_same_shape_jobs(tmp_path, rng):
     assert "batched" not in results[2]
     for o in outs:
         assert os.path.exists(o)
+
+
+def test_image_size_matches_load_image(tmp_path, rng):
+    from PIL import Image
+
+    from strotss_tpu.utils.io import image_size, load_image
+
+    img = (rng.random((37, 51, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "odd.png")
+    Image.fromarray(img).save(p)
+    for ms in (None, 24, 96):  # identity, downscale, upscale
+        assert image_size(p, max_size=ms) == load_image(
+            p, max_size=ms).shape[1:3]
+    with pytest.raises(FileNotFoundError):
+        image_size(str(tmp_path / "nope.png"))
+
+
+@pytest.mark.slow
+def test_serve_stdin_stream(tmp_path, rng, monkeypatch):
+    import io as _io
+
+    from strotss_tpu.serve import main
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    op = str(tmp_path / "stdin_out.jpg")
+    rp = str(tmp_path / "stdin_results.jsonl")
+    jobs = json.dumps({"content": cp, "style": sp, "output": op}) + "\n"
+    monkeypatch.setattr("sys.stdin", _io.StringIO(jobs))
+    rc = main(["--jobs", "-", "--results", rp,
+               "--level", "1", "--max_iter", "2",
+               "--compute_dtype", "float32", "--no_pallas",
+               "--taps", "block1_conv1"])
+    assert rc == 0
+    with open(rp) as f:
+        results = [json.loads(line) for line in f]
+    assert len(results) == 1 and results[0]["ok"]
+    assert os.path.exists(op)
