@@ -31,13 +31,20 @@ Batching: with ``--batch N`` consecutive unmasked, override-free jobs
 whose loaded shapes match are grouped through ``stylize_batch`` (B
 pairs per program; per-pair EXACT — each trajectory equals its single
 run, see ``parallel/batch.py``), which amortizes to ~3.75 s/image at
-B=8 on one chip.
+B=8 on one chip. A full batch runs the moment it fills; a batch that
+fails (one bad input) is retried job-by-job so its good members still
+complete.
+
+Warmup: ``--warmup HxW`` (repeatable) pays each shape bucket's one-time
+compile + remote program load at deploy time by running a synthetic job
+through the exact serving path before any real job is read.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from typing import Dict, List, Optional
@@ -61,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch", type=int, default=1,
                         help="group up to N consecutive same-shape unmasked "
                              "jobs into one per-pair-exact batched program")
+    parser.add_argument("--warmup", action="append", default=[],
+                        metavar="HxW",
+                        help="pre-compile a shape bucket at startup by "
+                             "running a synthetic job of this ON-DISK image "
+                             "size through the exact serving path (may be "
+                             "repeated; with --batch N the batched program "
+                             "is warmed at group size N). Pays the one-time "
+                             "compile + program-load at deploy time instead "
+                             "of on the first real job.")
     # shared stylization knobs (same names/defaults as the main CLI)
     parser.add_argument("--max_size", type=int, default=None)
     parser.add_argument("--lr", type=float, default=2e-3)
@@ -155,7 +171,7 @@ def _run_batch(args, jobs: List[Dict], vgg_params) -> List[Dict]:
     import jax.numpy as jnp
 
     from strotss_tpu.parallel.batch import stylize_batch
-    from strotss_tpu.utils.io import load_image, write_image
+    from strotss_tpu.utils.io import write_image
 
     contents, styles = [], []
     for job in jobs:
@@ -167,12 +183,58 @@ def _run_batch(args, jobs: List[Dict], vgg_params) -> List[Dict]:
                                jnp.concatenate(styles),
                                _config(args, jobs[0]), vgg_params=vgg_params)
     per = round((time.perf_counter() - t0) / len(jobs), 3)
+    # final-scale curve is (n_steps, B, 3): per-pair final losses
+    scales = info.get("scales") or []
+    curve = scales[-1]["curve"] if scales else None
     results = []
     for b, job in enumerate(jobs):
         write_image(imgs[b], job["output"])
-        results.append({"output": job["output"], "ok": True,
-                        "seconds": per, "batched": len(jobs)})
+        result = {"output": job["output"], "ok": True,
+                  "seconds": per, "batched": len(jobs)}
+        if curve is not None and len(curve):
+            result["loss"] = float(curve[-1, b, 0])
+        results.append(result)
     return results
+
+
+def _warmup(args, vgg_params) -> None:
+    """Run one synthetic job per ``--warmup HxW`` bucket through the real
+    serving path (same loaders, same config, same jit-cached programs),
+    discarding the output — the first production job of that shape bucket
+    then runs at steady state. With ``--batch N`` the batched program is
+    warmed at group size N (that is the program full batches will hit)."""
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    with tempfile.TemporaryDirectory() as td:
+        for i, spec in enumerate(args.warmup):
+            try:
+                h, w = (int(v) for v in spec.lower().split("x"))
+            except ValueError:
+                raise ValueError(
+                    f"--warmup expects HxW (e.g. 512x512), got {spec!r}"
+                )
+            rng = np.random.default_rng(0)
+            paths = []
+            for name in ("c", "s"):
+                img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+                p = os.path.join(td, f"warm{i}_{name}.png")
+                Image.fromarray(img).save(p)
+                paths.append(p)
+            job = {"content": paths[0], "style": paths[1],
+                   "output": os.path.join(td, f"warm{i}_out.png")}
+            t0 = time.perf_counter()
+            if args.batch > 1:
+                _run_batch(args, [dict(job) for _ in range(args.batch)],
+                           vgg_params)
+            else:
+                _run_single(args, job, vgg_params)
+            logger.info(
+                f"Warmed shape bucket {h}x{w} in "
+                f"{time.perf_counter() - t0:.1f}s."
+            )
 
 
 def _job_lines(path: str):
@@ -211,6 +273,9 @@ def main(argv=None) -> int:
     vgg_params = load_vgg_params(
         "16", args.use_keras_weight)  # shared across all jobs
 
+    if args.warmup:
+        _warmup(args, vgg_params)
+
     out = sys.stdout if args.results == "-" else open(args.results, "w")
 
     def emit(result: Dict):
@@ -218,14 +283,20 @@ def main(argv=None) -> int:
         out.flush()
 
     def run(jobs: List[Dict]):
-        try:
-            if len(jobs) > 1:
+        if len(jobs) > 1:
+            try:
                 for r in _run_batch(args, jobs, vgg_params):
                     emit(r)
                 return
-            emit(_run_single(args, jobs[0], vgg_params))
-        except Exception as e:  # serving survives bad jobs
-            for job in jobs:
+            except Exception:
+                # one bad input fails the whole batched program — retry the
+                # jobs singly so the good ones still complete, and only the
+                # bad one emits its (precise) error
+                pass
+        for job in jobs:
+            try:
+                emit(_run_single(args, job, vgg_params))
+            except Exception as e:  # serving survives bad jobs
                 emit({"output": job.get("output"), "ok": False,
                       "error": f"{type(e).__name__}: {e}"})
 
@@ -244,8 +315,7 @@ def main(argv=None) -> int:
                 continue
             sig = (_shape_sig(args, job)
                    if args.batch > 1 and _batchable(job) else None)
-            if pending and (sig is None or sig != pending_sig
-                            or len(pending) >= args.batch):
+            if pending and (sig is None or sig != pending_sig):
                 run(pending)
                 n_done += len(pending)
                 pending = []
@@ -255,6 +325,12 @@ def main(argv=None) -> int:
             else:
                 pending.append(job)
                 pending_sig = sig
+                # a full batch runs NOW — a queue feeding stdin must not
+                # leave N finished-forming jobs waiting for job N+1
+                if len(pending) >= args.batch:
+                    run(pending)
+                    n_done += len(pending)
+                    pending = []
         if pending:
             run(pending)
             n_done += len(pending)

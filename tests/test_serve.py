@@ -78,6 +78,78 @@ def test_serve_batch_groups_same_shape_jobs(tmp_path, rng):
         assert os.path.exists(o)
 
 
+@pytest.mark.slow
+def test_serve_full_batch_flushes_before_next_read(tmp_path, rng,
+                                                   monkeypatch):
+    """A queue feeding stdin must get batch results as soon as the batch
+    fills — not when the NEXT job (possibly hours later) arrives."""
+    from strotss_tpu.serve import main
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    outs = [str(tmp_path / f"f{i}.jpg") for i in range(2)]
+    rp = str(tmp_path / "flush_results.jsonl")
+
+    class _Queue:
+        def __iter__(self):
+            for o in outs:
+                yield json.dumps({"content": cp, "style": sp,
+                                  "output": o}) + "\n"
+            # the batch is full (2/2): its results must already be out
+            # before the loop comes back to read another line
+            with open(rp) as f:
+                done = [json.loads(line) for line in f]
+            assert len(done) == 2 and all(r["ok"] for r in done), done
+
+    monkeypatch.setattr("sys.stdin", _Queue())
+    rc = main(["--jobs", "-", "--results", rp, "--batch", "2",
+               "--level", "1", "--max_iter", "2",
+               "--compute_dtype", "float32", "--no_pallas",
+               "--taps", "block1_conv1"])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_serve_batch_failure_falls_back_to_singles(tmp_path, rng):
+    """One bad job must not take down its batch-mates: the batch retries
+    singly, good jobs complete, the bad one carries the precise error."""
+    cp, sp = _write_inputs(tmp_path, rng)
+    ok_out = str(tmp_path / "good.jpg")
+    bad_out = str(tmp_path / "no_such_dir" / "bad.jpg")  # unwritable
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": ok_out},
+        {"content": cp, "style": sp, "output": bad_out},
+    ], extra=("--batch", "2"))
+    assert [r["ok"] for r in results] == [True, False]
+    assert os.path.exists(ok_out)
+    assert "batched" not in results[0]  # completed via the single fallback
+    assert "FileNotFoundError" in results[1]["error"]
+
+
+@pytest.mark.slow
+def test_serve_warmup_and_batch_loss(tmp_path, rng):
+    """--warmup runs synthetic jobs through the serving path before any
+    real job; batched results carry their per-pair final loss."""
+    cp, sp = _write_inputs(tmp_path, rng)
+    outs = [str(tmp_path / f"w{i}.jpg") for i in range(2)]
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": outs[0]},
+        {"content": cp, "style": sp, "output": outs[1]},
+    ], extra=("--batch", "2", "--warmup", "40x48"))
+    assert [r["ok"] for r in results] == [True, True]
+    assert all(r.get("batched") == 2 for r in results)
+    assert all(np.isfinite(r["loss"]) for r in results)
+    # warmup artifacts must not leak into results
+    assert len(results) == 2
+
+
+def test_serve_warmup_rejects_bad_spec(tmp_path, rng):
+    from strotss_tpu.serve import main
+
+    with pytest.raises(ValueError, match="HxW"):
+        main(["--jobs", str(tmp_path / "none.jsonl"),
+              "--warmup", "not-a-size"])
+
+
 def test_image_size_matches_load_image(tmp_path, rng):
     from PIL import Image
 
