@@ -28,8 +28,10 @@ def stylize(
 
     Returns the uint8 HWC stylized image and an info dict with per-scale
     losses and timings. See :class:`strotss_tpu.StrotssConfig` for knobs.
-    ``mesh``: optional ``jax.sharding.Mesh`` with a 'sample' axis, used
-    when ``cfg.shard_samples`` partitions the transport losses.
+    ``mesh``: optional ``jax.sharding.Mesh`` — a 'sample' axis partitions
+    the transport losses under ``cfg.shard_samples``; a 'spatial' axis
+    partitions the conv stack of a single high-res stylization under
+    ``cfg.shard_spatial`` (the two compose on a 2-D mesh).
     """
     from strotss_tpu.validation import check_image, check_masks
 

@@ -85,6 +85,14 @@ class StrotssConfig:
     #: N² distance matrices are then partitioned across chips by XLA
     #: (for high-res / large-sample_size configs).
     shard_samples: bool = False
+    #: shard the IMAGE HEIGHT over the 'spatial' axis of the mesh passed
+    #: to stylize — the VGG conv stack (forward AND backward, the
+    #: dominant cost at high resolution) is then partitioned across chips
+    #: by XLA/GSPMD with automatic halo exchanges over ICI, scaling a
+    #: SINGLE high-res stylization beyond one chip. Composes with
+    #: shard_samples on a 2-D ('spatial', 'sample') mesh. Single-pair
+    #: runs only (``stylize``); the batched path scales over 'data'.
+    shard_spatial: bool = False
 
     def scale_sizes(self) -> list:
         """The coarse-to-fine long-edge schedule: 64, 128, 256, 512, ...

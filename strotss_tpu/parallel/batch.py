@@ -264,6 +264,11 @@ def stylize_batch(
     check_masks(content_masks, style_masks, region_valid, batched=True,
                 batch=contents.shape[0])
     cfg = cfg or StrotssConfig()
+    if cfg.shard_spatial:
+        raise ValueError(
+            "shard_spatial is a single-pair scale-out feature (stylize); "
+            "the batched path scales over the mesh's 'data' axis instead"
+        )
     if vgg_params is None:
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
     if key is None:

@@ -1,16 +1,20 @@
 """Device-mesh helpers.
 
 The reference is strictly single-device (``/root/reference/nn/utils.py:73-85``
-pins one GPU). TPU-native scaling here has two axes:
+pins one GPU). TPU-native scaling here has three axes:
 
 - ``data``: embarrassingly-parallel content/style *pairs* (the dominant
   production axis — stylizations are independent).
 - ``sample``: the feature-sample dimension of the transport losses, for
   high-res configs where N² cost matrices outgrow one chip's appetite
   (see ``strotss_tpu.parallel.transport``).
+- ``spatial``: the image HEIGHT of a *single* stylization — GSPMD
+  partitions the VGG conv stack (fwd+bwd, the dominant cost at high
+  resolution) across chips with automatic halo exchanges
+  (``config.shard_spatial``; constraint in ``solve``).
 
-Collectives ride ICI within a slice; DCN is only ever crossed by the
-``data`` axis (independent work, no per-step traffic).
+Collectives (halo ppermutes, psums) ride ICI within a slice; DCN is only
+ever crossed by the ``data`` axis (independent work, no per-step traffic).
 """
 
 from __future__ import annotations

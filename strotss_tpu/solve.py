@@ -111,6 +111,10 @@ class StepSpec(NamedTuple):
     remd_impl: str
     selfsim_impl: str
     shard_samples: bool = False
+    #: shard image/feature-map HEIGHT over the mesh's 'spatial' axis —
+    #: GSPMD partitions the conv stack (fwd+bwd) with halo exchanges,
+    #: scaling one high-res stylization across chips (config.shard_spatial).
+    shard_spatial: bool = False
     #: matmul precision for the loss stack: 'highest' (exact f32) under
     #: f32 features; 'high' (3-pass bf16, ~1e-6 rel) under bf16 features,
     #: whose quantization noise dwarfs the matmul rounding — ~2x faster.
@@ -138,7 +142,7 @@ def spec_from_config(
     # sample-sharding partitions whole programs; f32 mode is the exactness
     # mode with HIGHEST-precision convs).
     b1 = cfg.block1_impl
-    if b1 == "auto" or batched or cfg.shard_samples or (
+    if b1 == "auto" or batched or cfg.shard_samples or cfg.shard_spatial or (
             cfg.compute_dtype != "bfloat16"):
         b1 = "xla"
     return StepSpec(
@@ -150,11 +154,15 @@ def spec_from_config(
         use_sinkhorn=cfg.use_sinkhorn,
         sinkhorn_lambda=cfg.sinkhorn_lambda,
         sinkhorn_iters=cfg.sinkhorn_iters,
-        # sample-axis sharding uses plain-XLA loss impls: GSPMD partitions
-        # them automatically; the Pallas kernels are single-device programs
-        remd_impl="xla" if cfg.shard_samples else impl,
-        selfsim_impl="xla" if cfg.shard_samples else impl,
+        # sample-axis/spatial sharding uses plain-XLA loss impls: GSPMD
+        # partitions them automatically; the Pallas kernels are
+        # single-device programs
+        remd_impl="xla" if (cfg.shard_samples or cfg.shard_spatial) else impl,
+        selfsim_impl=(
+            "xla" if (cfg.shard_samples or cfg.shard_spatial) else impl
+        ),
         shard_samples=cfg.shard_samples,
+        shard_spatial=cfg.shard_spatial,
         loss_precision=(
             "high" if cfg.compute_dtype == "bfloat16" else "highest"
         ),
@@ -349,6 +357,12 @@ def run_scale(
     scl_c, scl_s, seed_pyramid = _scale_seed(
         mode, chw, shw, levels, content, style, prev
     )
+    if spec.shard_spatial:
+        # one annotation per image: GSPMD spatially partitions both VGG
+        # extractions (and, via loss_fn's matching constraint, the
+        # per-step fwd+bwd conv stack) across the mesh's 'spatial' axis
+        scl_c = _shard_spatial_constraint(scl_c, mesh)
+        scl_s = _shard_spatial_constraint(scl_s, mesh)
     content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
     style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
 
@@ -382,6 +396,8 @@ def run_scale(
 
     def loss_fn(pyr, k):
         img = fold_laplacian_pyramid(pyr)
+        if spec.shard_spatial:
+            img = _shard_spatial_constraint(img, mesh)
         pred = extract_hypercolumn(spec, vgg_params, img)
         return _step_losses(
             spec, content_feats, pred, style_targets, cmasks, alpha, k,
@@ -450,6 +466,25 @@ def _shard_samples_constraint(x, mesh, axis: str = "sample"):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     spec = P(*([None] * (x.ndim - 2) + [axis, None]))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def _shard_spatial_constraint(x, mesh, axis: str = "spatial"):
+    """Constrain an NHWC tensor's HEIGHT onto the mesh's ``axis``.
+
+    One annotation on the scale-resized images is enough: GSPMD propagates
+    it through the whole conv stack — forward convs become spatially
+    partitioned with automatic halo exchanges over ICI, and their
+    transposed backward convs inherit the same partitioning. The loss-side
+    (n, C) sample matrices are tiny; XLA re-gathers/replicates them at the
+    sampling boundary on its own. H (not W) is the sharded dim so row-major
+    layouts stay contiguous per shard.
+    """
+    if mesh is None or axis not in mesh.axis_names:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(None, axis, *([None] * (x.ndim - 2)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
@@ -564,6 +599,8 @@ def run_chunk(
 
     def loss_fn(pyr, k):
         img = fold_laplacian_pyramid(pyr)
+        if spec.shard_spatial:
+            img = _shard_spatial_constraint(img, mesh)
         pred = extract_hypercolumn(spec, vgg_params, img)
         return _step_losses(
             spec, content_feats, pred, style_targets, content_masks, alpha, k,
@@ -775,7 +812,9 @@ def stylize_single(
     optimization step (replayed from each chunk's metric block), matching
     the reference's per-iteration display (``run_strotss.py:148-152``).
     With ``cfg.shard_samples`` and a ``mesh`` holding a 'sample' axis, the
-    transport losses are partitioned over that axis (see _step_losses).
+    transport losses are partitioned over that axis (see _step_losses);
+    with ``cfg.shard_spatial`` and a 'spatial' axis, the conv stack is
+    spatially partitioned across chips (see _shard_spatial_constraint).
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -787,7 +826,14 @@ def stylize_single(
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
 
-    if spec.shard_samples and mesh is not None:
+    if spec.shard_spatial and (
+        mesh is None or "spatial" not in mesh.axis_names
+    ):
+        raise ValueError(
+            "cfg.shard_spatial needs a mesh with a 'spatial' axis — pass "
+            "stylize(..., mesh=make_mesh((N,), ('spatial',)))"
+        )
+    if (spec.shard_samples or spec.shard_spatial) and mesh is not None:
         # place every input on the mesh's devices (replicated); the
         # 'sample'-axis constraints inside the step then partition the
         # transport losses without a device-assignment clash
@@ -826,10 +872,10 @@ def stylize_single(
             )
 
     programs: Dict = {}
-    # gate on the same condition the consumer loop uses (shard-sampled runs
+    # gate on the same condition the consumer loop uses (sharded runs
     # never call the AOT programs — precompiling them would pay the full
     # relay compile cost twice)
-    if cfg.precompile and not spec.shard_samples:
+    if cfg.precompile and not spec.shard_samples and not spec.shard_spatial:
         programs = precompile_scales(
             cfg, spec, vgg_params, content.shape, style.shape,
             content_masks, style_masks,
@@ -884,7 +930,8 @@ def stylize_single(
             is_first_t = jnp.asarray(is_first, jnp.bool_)
             prog_key = (i, n, tuple(prev.shape))
             prog = programs.get(prog_key)
-            if prog is not None and not spec.shard_samples:
+            if prog is not None and not spec.shard_samples \
+                    and not spec.shard_spatial:
                 timing = getattr(programs, "timings", {}).get(prog_key)
                 t_call = time.perf_counter()
                 pyramid, opt_state, k_run, metrics, stylized, img_u8 = prog(
@@ -904,7 +951,8 @@ def stylize_single(
                         vgg_params, content, style, prev, is_first_t,
                         k_style, pyramid, opt_state, k_run, alpha_t, lr_t,
                         content_masks, style_masks, source_tag(),
-                        mesh=mesh if spec.shard_samples else None,
+                        mesh=mesh if (spec.shard_samples
+                                  or spec.shard_spatial) else None,
                     )
                 )
             is_first = False
@@ -966,7 +1014,8 @@ def stylize_single(
                     k_style,
                     pyramid, opt_state, k_run, alpha_t, lr_t,
                     content_masks, style_masks, source_tag(),
-                    mesh=mesh if spec.shard_samples else None,
+                    mesh=mesh if (spec.shard_samples
+                                  or spec.shard_spatial) else None,
                 )
         deferred = any(not isinstance(c, np.ndarray) for c in curve)
         if not deferred:

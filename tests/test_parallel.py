@@ -180,3 +180,75 @@ def test_shard_samples_matches_unsharded(rng):
         info_sh["scales"][0]["curve"], info_ref["scales"][0]["curve"],
         rtol=2e-4, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_shard_spatial_matches_unsharded(rng):
+    """cfg.shard_spatial spatially partitions the conv stack (fwd+bwd) of a
+    SINGLE stylization over the mesh's 'spatial' axis via GSPMD halo
+    exchanges; the loss trajectory must match the single-device run to
+    float tolerance (partitioned convs only reorder accumulations)."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.solve import stylize_single
+
+    cpus = _cpu_devices(8)
+    mesh = make_mesh((8,), ("spatial",), devices=cpus)
+    # pin BOTH runs to CPU (committed inputs): the only delta is then the
+    # spatial partitioning, not the backend
+    content = jax.device_put(
+        jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32), cpus[0]
+    )
+    style = jax.device_put(
+        jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32), cpus[0]
+    )
+    params = jax.device_put(random_params("16", 0), cpus[0])
+
+    def cfg(shard):
+        return StrotssConfig(
+            levels=1, max_iter=3, log_every=3, sample_size=32,
+            compute_dtype="float32", use_pallas=False, precompile=False,
+            taps=("block1_conv1",), shard_spatial=shard,
+        )
+
+    img_ref, info_ref = stylize_single(content, style, cfg(False), params)
+    img_sh, info_sh = stylize_single(
+        content, style, cfg(True), params, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        info_sh["scales"][0]["curve"], info_ref["scales"][0]["curve"],
+        rtol=2e-4, atol=1e-5,
+    )
+    # the rendered images must agree to 1 uint8 ulp
+    diff = np.abs(
+        np.asarray(img_sh).astype(int) - np.asarray(img_ref).astype(int)
+    )
+    assert diff.max() <= 1, f"image diverged (max {diff.max()})"
+
+
+def test_shard_spatial_requires_spatial_mesh(rng):
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.solve import stylize_single
+
+    content = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    cfg = StrotssConfig(levels=1, max_iter=1, shard_spatial=True,
+                        taps=("block1_conv1",), use_pallas=False)
+    params = random_params("16", 0)
+    with pytest.raises(ValueError, match="'spatial' axis"):
+        stylize_single(content, content, cfg, params)
+    # a mesh without the axis is rejected too
+    mesh = make_mesh((8,), ("sample",), devices=_cpu_devices(8))
+    with pytest.raises(ValueError, match="'spatial' axis"):
+        stylize_single(content, content, cfg, params, mesh=mesh)
+
+
+def test_shard_spatial_rejected_in_batched(rng):
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.parallel.batch import stylize_batch
+
+    contents = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    cfg = StrotssConfig(levels=1, max_iter=1, shard_spatial=True,
+                        taps=("block1_conv1",), use_pallas=False)
+    with pytest.raises(ValueError, match="single-pair"):
+        stylize_batch(contents, contents, cfg)

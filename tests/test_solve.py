@@ -49,6 +49,22 @@ def test_stylize_single_tiny(rng):
     assert np.isfinite(info["scales"][0]["loss"])
 
 
+def test_stylize_single_vgg19(rng):
+    """vgg_type='19' runs end-to-end (reference ``nn/model.py:21-25``
+    supports both families). With block1-only taps the extractor truncates
+    before the architectures diverge, so the compiled program matches the
+    VGG16 tests' — cheap on CPU — while the config/params plumbing
+    (19-layer param tree, spec.vgg_type) is exercised for real."""
+    content = jnp.asarray(rng.random((1, 40, 48, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 44, 36, 3)), jnp.float32)
+    params = random_params("19", 0)
+    assert len(params) == 16  # VGG19: 2+2+4+4+4 convs
+    cfg = _tiny_cfg(vgg_type="19")
+    img, info = stylize_single(content, style, cfg, params)
+    assert img.dtype == jnp.uint8 and img.ndim == 3
+    assert np.isfinite(info["scales"][0]["loss"])
+
+
 def test_stylize_deterministic(rng):
     content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
     style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
