@@ -226,6 +226,48 @@ def test_shard_spatial_matches_unsharded(rng):
     assert diff.max() <= 1, f"image diverged (max {diff.max()})"
 
 
+@pytest.mark.slow
+def test_shard_spatial_composes_with_masks(rng):
+    """Masked (region-vmapped) runs compose with spatial sharding: the
+    region vmap rides inside the GSPMD-partitioned program."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.solve import stylize_single
+
+    cpus = _cpu_devices(8)
+    mesh = make_mesh((8,), ("spatial",), devices=cpus)
+    content = jax.device_put(
+        jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32), cpus[0]
+    )
+    style = jax.device_put(
+        jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32), cpus[0]
+    )
+    cm = np.zeros((2, 40, 40, 1), np.float32)
+    sm = np.zeros((2, 40, 40, 1), np.float32)
+    cm[0, :, :20], cm[1, :, 20:] = 1.0, 1.0
+    sm[0, :20, :], sm[1, 20:, :] = 1.0, 1.0
+    cm = jax.device_put(jnp.asarray(cm), cpus[0])
+    sm = jax.device_put(jnp.asarray(sm), cpus[0])
+    params = jax.device_put(random_params("16", 0), cpus[0])
+
+    def cfg(shard):
+        return StrotssConfig(
+            levels=1, max_iter=2, log_every=2, sample_size=32,
+            compute_dtype="float32", use_pallas=False, precompile=False,
+            taps=("block1_conv1",), shard_spatial=shard,
+        )
+
+    _, info_ref = stylize_single(content, style, cfg(False), params,
+                                 content_masks=cm, style_masks=sm)
+    _, info_sh = stylize_single(content, style, cfg(True), params,
+                                content_masks=cm, style_masks=sm,
+                                mesh=mesh)
+    np.testing.assert_allclose(
+        info_sh["scales"][0]["curve"], info_ref["scales"][0]["curve"],
+        rtol=2e-4, atol=1e-5,
+    )
+
+
 def test_shard_spatial_requires_spatial_mesh(rng):
     from strotss_tpu.config import StrotssConfig
     from strotss_tpu.models.weights import random_params
