@@ -268,6 +268,42 @@ def test_shard_spatial_composes_with_masks(rng):
     )
 
 
+@pytest.mark.slow
+def test_shard_spatial_composes_with_shard_samples(rng):
+    """The 2-D ('spatial','sample') mesh claim in docs/ARCHITECTURE.md:
+    conv-stack height partitioning and transport-loss sample partitioning
+    in ONE program."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.solve import stylize_single
+
+    cpus = _cpu_devices(8)
+    mesh = make_mesh((2, 4), ("spatial", "sample"), devices=cpus)
+    content = jax.device_put(
+        jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32), cpus[0]
+    )
+    style = jax.device_put(
+        jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32), cpus[0]
+    )
+    params = jax.device_put(random_params("16", 0), cpus[0])
+
+    def cfg(shard):
+        return StrotssConfig(
+            levels=1, max_iter=2, log_every=2, sample_size=32,
+            compute_dtype="float32", use_pallas=False, precompile=False,
+            taps=("block1_conv1",), shard_spatial=shard,
+            shard_samples=shard,
+        )
+
+    _, info_ref = stylize_single(content, style, cfg(False), params)
+    _, info_sh = stylize_single(content, style, cfg(True), params,
+                                mesh=mesh)
+    np.testing.assert_allclose(
+        info_sh["scales"][0]["curve"], info_ref["scales"][0]["curve"],
+        rtol=2e-4, atol=1e-5,
+    )
+
+
 def test_shard_spatial_requires_spatial_mesh(rng):
     from strotss_tpu.config import StrotssConfig
     from strotss_tpu.models.weights import random_params
