@@ -35,9 +35,10 @@ B=8 on one chip. A full batch runs the moment it fills; a batch that
 fails (one bad input) is retried job-by-job so its good members still
 complete.
 
-Warmup: ``--warmup HxW`` (repeatable) pays each shape bucket's one-time
-compile + remote program load at deploy time by running a synthetic job
-through the exact serving path before any real job is read.
+Warmup: ``--warmup HxW[:HxW]`` (repeatable; content[:style] on-disk
+sizes) pays each shape bucket's one-time compile + remote program load
+at deploy time by running a synthetic job through the exact serving
+path before any real job is read.
 """
 
 from __future__ import annotations
@@ -69,12 +70,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="group up to N consecutive same-shape unmasked "
                              "jobs into one per-pair-exact batched program")
     parser.add_argument("--warmup", action="append", default=[],
-                        metavar="HxW",
+                        metavar="HxW[:HxW]",
                         help="pre-compile a shape bucket at startup by "
                              "running a synthetic job of this ON-DISK image "
-                             "size through the exact serving path (may be "
+                             "size through the exact serving path; "
+                             "'HxW:HxW' gives content and style sizes "
+                             "separately (one HxW uses it for both). May be "
                              "repeated; with --batch N the batched program "
-                             "is warmed at group size N). Pays the one-time "
+                             "is warmed at group size N. Pays the one-time "
                              "compile + program-load at deploy time instead "
                              "of on the first real job.")
     # shared stylization knobs (same names/defaults as the main CLI)
@@ -208,17 +211,29 @@ def _warmup(args, vgg_params) -> None:
     import numpy as np
     from PIL import Image
 
+    def parse_hw(part, spec):
+        try:
+            h, w = (int(v) for v in part.split("x"))
+            return h, w
+        except ValueError:
+            raise ValueError(
+                f"--warmup expects HxW or HxW:HxW (e.g. 512x512 or "
+                f"321x481:1600x1200), got {spec!r}"
+            )
+
     with tempfile.TemporaryDirectory() as td:
         for i, spec in enumerate(args.warmup):
-            try:
-                h, w = (int(v) for v in spec.lower().split("x"))
-            except ValueError:
+            parts = spec.lower().split(":")
+            if len(parts) > 2:
                 raise ValueError(
-                    f"--warmup expects HxW (e.g. 512x512), got {spec!r}"
+                    f"--warmup expects HxW or HxW:HxW, got {spec!r}"
                 )
+            sizes = [parse_hw(p, spec) for p in parts]
+            if len(sizes) == 1:
+                sizes = sizes * 2  # one size: content and style share it
             rng = np.random.default_rng(0)
             paths = []
-            for name in ("c", "s"):
+            for (h, w), name in zip(sizes, ("c", "s")):
                 img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
                 p = os.path.join(td, f"warm{i}_{name}.png")
                 Image.fromarray(img).save(p)
@@ -232,7 +247,7 @@ def _warmup(args, vgg_params) -> None:
             else:
                 _run_single(args, job, vgg_params)
             logger.info(
-                f"Warmed shape bucket {h}x{w} in "
+                f"Warmed shape bucket {spec} in "
                 f"{time.perf_counter() - t0:.1f}s."
             )
 

@@ -38,7 +38,7 @@ def device_timer(result: dict, key: str = "seconds", sync=None):
     Usage::
 
         out = {}
-        with device_timer(out, sync_fn=lambda: x.block_until_ready()):
+        with device_timer(out, sync=lambda: x):
             x = step(x)
     """
     import jax

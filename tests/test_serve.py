@@ -131,10 +131,12 @@ def test_serve_warmup_and_batch_loss(tmp_path, rng):
     real job; batched results carry their per-pair final loss."""
     cp, sp = _write_inputs(tmp_path, rng)
     outs = [str(tmp_path / f"w{i}.jpg") for i in range(2)]
+    # content:style sizes match the real jobs' bucket exactly, so the
+    # warmup pre-compiles the very programs the jobs then reuse
     results = _serve(tmp_path, [
         {"content": cp, "style": sp, "output": outs[0]},
         {"content": cp, "style": sp, "output": outs[1]},
-    ], extra=("--batch", "2", "--warmup", "40x48"))
+    ], extra=("--batch", "2", "--warmup", "40x48:44x36"))
     assert [r["ok"] for r in results] == [True, True]
     assert all(r.get("batched") == 2 for r in results)
     assert all(np.isfinite(r["loss"]) for r in results)
