@@ -52,6 +52,25 @@ def test_alpha_schedule_in_info(rng):
     assert alphas == [16.0, 8.0]  # run_strotss.py:65,155
 
 
+def test_snapshot_cb_fires_at_save_every(rng):
+    """cfg.save_every + snapshot_cb: intermediate images at chunk
+    boundaries (the CLI's --save_every writes these to disk)."""
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=1, max_iter=4, log_every=2, save_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    calls = []
+    stylize_single(content, style, cfg, params,
+                   snapshot_cb=lambda scl, it, img: calls.append(
+                       (scl, it, np.asarray(img))))
+    assert [(s, i) for s, i, _ in calls] == [(64, 2), (64, 4)]
+    for _, _, img in calls:
+        assert img.dtype == np.uint8 and img.ndim == 3
+
+
 def test_precompile_serves_every_chunk(rng, monkeypatch):
     """With precompile on, the AOT executables must serve ALL chunks of a
     fresh run — the jit fallback never fires (it's for resume signatures)."""
