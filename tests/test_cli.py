@@ -54,13 +54,17 @@ def test_cli_end_to_end(tmp_path, rng):
     Image.fromarray(c).save(cp)
     Image.fromarray(s).save(sp)
 
+    pd = str(tmp_path / "trace")
     rc = main([
         cp, sp, "-o", op,
         "--level", "1", "--max_iter", "2", "--log_every", "2",
         "--compute_dtype", "float32", "--no_pallas",
         "--taps", "block1_conv1",
+        "--profile_dir", pd,  # the jax.profiler plumbing must not crash
     ])
     assert rc == 0
     assert os.path.exists(op)
     out = np.asarray(Image.open(op))
     assert out.ndim == 3 and out.shape[2] == 3
+    # a trace capture landed (plugins/ tree with at least one event file)
+    assert os.path.isdir(pd) and any(os.scandir(pd))
