@@ -9,8 +9,10 @@ Design: everything on the compute path is a pure function compiled under
 RMSprop update fused inside (the reference round-trips gradients to the host
 every step, ``/root/reference/run_strotss.py:147-148``). Sampling is
 static-shape (Gumbel top-k instead of shuffle-and-truncate), the REMD cost
-matrix has a fused Pallas kernel, and batches of content/style pairs scale
-over a ``jax.sharding.Mesh`` via data- and sample-axis sharding.
+matrix has a fused Pallas kernel, and runs scale over a
+``jax.sharding.Mesh`` three ways: pair batches over a ``data`` axis,
+transport-loss samples over a ``sample`` axis, and a single high-res
+stylization's conv stack over a ``spatial`` axis (GSPMD halo exchanges).
 """
 
 from strotss_tpu.version import __version__
