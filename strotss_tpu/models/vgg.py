@@ -222,7 +222,9 @@ def vgg_apply(
             t1, t2 = block1_pallas(
                 h[0],
                 p1["kernel"], p1["bias"], p2["kernel"], p2["bias"],
-                interpret=block1_interpret,
+                # same convention as the remd/selfsim/sinkhorn kernels:
+                # Mosaic only lowers on TPU, interpret everywhere else
+                interpret=block1_interpret or jax.default_backend() != "tpu",
             )
             if "block1_conv1" in taps:
                 outs["block1_conv1"] = t1[None]

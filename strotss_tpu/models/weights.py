@@ -277,10 +277,14 @@ def load_vgg_params(vgg_type: str = "16", use_keras_weight: bool = False) -> Par
     for sub in ("models", "datasets"):
         d = os.path.join(keras_home, sub)
         if os.path.isdir(d):
-            tag = "norm" if not use_keras_weight else ""
             for fn in sorted(os.listdir(d)):
                 if fn.endswith(".h5") and f"vgg{vgg_type}" in fn.lower():
-                    if not use_keras_weight and "norm" not in fn.lower():
+                    # the two weight modes must never cross: default mode
+                    # wants ONLY the normalized-VGG file, keras mode must
+                    # NEVER pick it up (same architecture, so it would
+                    # parse fine, run under the wrong preprocessing, and
+                    # poison the per-mode npz cache)
+                    if ("norm" in fn.lower()) != (not use_keras_weight):
                         continue
                     candidates.append(os.path.join(d, fn))
     for path in candidates:

@@ -80,8 +80,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
+from strotss_tpu.ops.kernels.common import round_up as _round_up
 
 
 def _dot(a, b, mul_dtype):

@@ -30,17 +30,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_L2NORM_EPS = 1e-12
-_L2DIST_EPS = 1e-6
+from strotss_tpu.ops.kernels.common import (
+    _L2DIST_EPS,
+    _L2NORM_EPS,
+    normalize_rows as _normalize_rows,
+    round_up as _round_up,
+)
+
 _BIG = 3.4e38  # plain float: jnp scalars become captured consts in kernels
 
 # distance codes baked into the kernel as static args
 _COS, _L2, _BOTH = 0, 1, 2
 _DIST_CODE = {"cosine": _COS, "l2": _L2, "both": _BOTH}
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
 
 
 def _dist_tile(xt, yt, dist_code: int, channels: int):
@@ -206,12 +207,6 @@ def _mins_pallas_call(
 # --------------------------------------------------------------------------
 # differentiable wrapper
 # --------------------------------------------------------------------------
-
-def _normalize_rows(x):
-    sq = jnp.sum(x * x, axis=1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, _L2NORM_EPS))
-    return x * inv, inv
-
 
 def _pair_grads(x, y, ii, jj, w, cvals, distance: str, channels: int):
     """Gradients of sum_k w_k * C[ii_k, jj_k] w.r.t. x and y.

@@ -38,12 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_L2NORM_EPS = 1e-12
-_COLSUM_EPS = 1e-12
-
-
-def _round_up(v: int, m: int) -> int:
-    return -(-v // m) * m
+from strotss_tpu.ops.kernels.common import (
+    _COLSUM_EPS,
+    _L2NORM_EPS,
+    normalize_rows as _normalize,
+    round_up as _round_up,
+)
 
 
 def _dot_nt(a, b):
@@ -134,12 +134,6 @@ def _bwd_kernel(xh_o, yh_o, xh_r, yh_r, cx, cy, tx, ty, ux_ref, uy_ref,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-
-
-def _normalize(x):
-    sq = jnp.sum(x * x, axis=1, keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(sq, _L2NORM_EPS))
-    return x * inv, inv
 
 
 def _prep(x, y):

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from strotss_tpu.ops.kernels.remd import _dist_tile, _round_up, _DIST_CODE
+from strotss_tpu.ops.kernels.common import round_up as _round_up
+from strotss_tpu.ops.kernels.remd import _dist_tile, _DIST_CODE
 
 _NEG_BIG = -3.4e38
 

@@ -134,7 +134,14 @@ def full_grid_coords(
     """
     h, w = hw
     if mask is not None:
-        logits = jnp.where(mask.reshape(-1) > 0.5, 0.0, _NEG_INF)
+        valid = mask.reshape(-1) > 0.5
+        # grid-level allpass escape: a region that leaves NO valid pixel
+        # at this scale (possible even past prepare_mask's max<0.1 hatch,
+        # e.g. a resized max of 0.3 with nothing over the 0.5 threshold)
+        # would otherwise make every logit -inf and silently collapse all
+        # samples onto index 0 — fall back to the full grid instead
+        valid = jnp.where(jnp.any(valid), valid, True)
+        logits = jnp.where(valid, 0.0, _NEG_INF)
     else:
         logits = jnp.zeros((h * w,), dtype=jnp.float32)
     idx = _select_k(key, logits, sample_size)
@@ -168,6 +175,11 @@ def strided_grid_coords(
     if mask is not None:
         mval = mask[jnp.clip(gx, 0, h - 1), jnp.clip(gy, 0, w - 1)]
         valid = valid & (mval > 0.5)
+        # grid-level allpass escape: a thin region can fall entirely
+        # between the strided grid's points for some random offsets —
+        # all-(-inf) logits would silently collapse every sample onto
+        # grid point 0; fall back to the in-bounds grid for this draw
+        valid = jnp.where(jnp.any(valid), valid, inb)
     logits = jnp.where(valid, 0.0, _NEG_INF)
     idx = _select_k(k_sel, logits, sample_size)
     coords = jnp.stack([jnp.take(gx, idx), jnp.take(gy, idx)], axis=1)

@@ -269,6 +269,13 @@ def stylize_batch(
             "shard_spatial is a single-pair scale-out feature (stylize); "
             "the batched path scales over the mesh's 'data' axis instead"
         )
+    if cfg.shard_samples and (
+        mesh is None or "sample" not in mesh.axis_names
+    ):
+        raise ValueError(
+            "cfg.shard_samples needs a mesh with a 'sample' axis — pass "
+            "stylize_batch(..., mesh=make_mesh((D, S), ('data', 'sample')))"
+        )
     if vgg_params is None:
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
     if key is None:

@@ -204,8 +204,13 @@ def _warmup(args, vgg_params) -> None:
     """Run one synthetic job per ``--warmup HxW`` bucket through the real
     serving path (same loaders, same config, same jit-cached programs),
     discarding the output — the first production job of that shape bucket
-    then runs at steady state. With ``--batch N`` the batched program is
-    warmed at group size N (that is the program full batches will hit)."""
+    then runs at steady state. With ``--batch N`` BOTH programs a real
+    stream hits are warmed: the size-N batched one (full groups) and the
+    single one (non-batchable jobs, end-of-stream flushes, and the
+    retry-singly path after a failed batch). Partial groups of size
+    2..N-1 are distinct programs and still pay their compile on first
+    use — streams with arbitrary flush sizes should prefer ``--batch``
+    values they can fill."""
     import tempfile
 
     import numpy as np
@@ -244,8 +249,10 @@ def _warmup(args, vgg_params) -> None:
             if args.batch > 1:
                 _run_batch(args, [dict(job) for _ in range(args.batch)],
                            vgg_params)
-            else:
-                _run_single(args, job, vgg_params)
+            # always warm the single program: it serves non-batchable
+            # jobs, end-of-stream flushes of one, and the retry-singly
+            # fallback after a failed batch
+            _run_single(args, job, vgg_params)
             logger.info(
                 f"Warmed shape bucket {spec} in "
                 f"{time.perf_counter() - t0:.1f}s."
@@ -277,6 +284,13 @@ def _shape_sig(args, job: Dict):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # stdout is the results stream (JSONL) by default — keep it clean by
+    # routing ALL shared-logger output (weights loader, write_image,
+    # warmup, the final summary) to stderr
+    from strotss_tpu.utils.logging import route_to_stderr
+
+    route_to_stderr()
 
     from strotss_tpu.cli import enable_compile_cache, set_device
 

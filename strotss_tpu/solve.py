@@ -639,14 +639,22 @@ def chunk_plan(max_iter: int, log_every: int) -> List[int]:
     return plan
 
 
-def _scale_signatures(cfg: StrotssConfig, content_shape, style_shape):
-    """Normal-path (no-resume) run_scale signatures, one per (scale, chunk).
+def _scale_signatures(
+    cfg: StrotssConfig,
+    content_shape,
+    style_shape,
+    resume_scale: int = 0,
+    resume_done: int = 0,
+):
+    """The run_scale signatures the solver loop will call, one per
+    (scale, chunk) — resume-aware, so a resumed run precompiles exactly the
+    programs it needs (not the completed scales' ones, whose unconsumed
+    compile futures would also stall the end-of-run metric fetch).
 
     ``prev`` (the previous scale's stylized image) has the PREVIOUS scale's
-    chw shape — except at scale 0 where it's the full-resolution content.
-    A resumed run whose early scales were skipped passes full-res content
-    as ``prev`` at a later scale instead; that signature isn't predicted
-    here and simply falls back to the ordinary jit path.
+    chw shape — except at the first *executed* scale, where it's the
+    full-resolution content (scale 0 normally; the checkpoint's scale on
+    resume, because the skipped scales produce no stylized image).
     """
     sigs = []
     prev_shape = tuple(content_shape)
@@ -654,9 +662,13 @@ def _scale_signatures(cfg: StrotssConfig, content_shape, style_shape):
         chw = resize_max_hw(content_shape[1], content_shape[2], scl)
         shw = resize_max_hw(style_shape[1], style_shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
-        for n in dict.fromkeys(chunk_plan(cfg.max_iter, cfg.log_every)):
-            sigs.append((i, n, mode, chw, shw, prev_shape))
-        prev_shape = (1, chw[0], chw[1], 3)
+        if i >= resume_scale:
+            steps = cfg.max_iter - (resume_done if i == resume_scale else 0)
+            for n in dict.fromkeys(chunk_plan(steps, cfg.log_every)):
+                sigs.append((i, n, mode, chw, shw, prev_shape))
+            # prev advances only once a scale actually executes (skipped
+            # scales leave ``stylized`` as the full-res content)
+            prev_shape = (1, chw[0], chw[1], 3)
     return sigs
 
 
@@ -711,6 +723,8 @@ def precompile_scales(
     content_masks=None,
     style_masks=None,
     max_workers: Optional[int] = None,
+    resume_scale: int = 0,
+    resume_done: int = 0,
 ) -> PrecompiledPrograms:
     """AOT-compile every per-scale program, overlapping the slow compiles.
 
@@ -767,7 +781,7 @@ def precompile_scales(
     ex = ThreadPoolExecutor(max_workers=max_workers)
     futs = {}
     for i, n, mode, chw, shw, prev_shape in _scale_signatures(
-        cfg, content_shape, style_shape
+        cfg, content_shape, style_shape, resume_scale, resume_done
     ):
         pyr, opt = scale_state_templates(chw, cfg.pyramid_levels, cfg.lr)
         args = (
@@ -833,6 +847,16 @@ def stylize_single(
             "cfg.shard_spatial needs a mesh with a 'spatial' axis — pass "
             "stylize(..., mesh=make_mesh((N,), ('spatial',)))"
         )
+    if spec.shard_samples and (
+        mesh is None or "sample" not in mesh.axis_names
+    ):
+        # same upfront contract as shard_spatial: a silent single-device
+        # no-op (mesh=None) or an opaque NamedSharding error deep inside
+        # the trace (missing axis) would both betray the explicit request
+        raise ValueError(
+            "cfg.shard_samples needs a mesh with a 'sample' axis — pass "
+            "stylize(..., mesh=make_mesh((N,), ('sample',)))"
+        )
     if (spec.shard_samples or spec.shard_spatial) and mesh is not None:
         # place every input on the mesh's devices (replicated); the
         # 'sample'-axis constraints inside the step then partition the
@@ -879,6 +903,14 @@ def stylize_single(
         programs = precompile_scales(
             cfg, spec, vgg_params, content.shape, style.shape,
             content_masks, style_masks,
+            # resume-aware: compile only the programs this run will call —
+            # completed scales' programs would waste 20-120 s/program of
+            # relay compile AND leave unconsumed futures in flight at the
+            # end-of-run metric fetch (a documented minutes-long stall)
+            resume_scale=resume["scale_index"] if resume else 0,
+            resume_done=(
+                min(resume["done_steps"], cfg.max_iter) if resume else 0
+            ),
         )
 
     alpha = cfg.initial_alpha()
@@ -941,7 +973,15 @@ def stylize_single(
                 )
                 if timing is not None and "first_call" not in timing:
                     # first execution includes the one-time remote program
-                    # load on this backend — block so it's attributable
+                    # load on this backend — block so it's attributable.
+                    # Caveat: axon's block_until_ready can return before
+                    # the program load completes (only device_get truly
+                    # waits), so first_call is a LOWER bound; the residue
+                    # lands in the scale's "seconds". A device_get here
+                    # would be exact but stalls minutes when later scales'
+                    # compile RPCs are still in flight (the stall the
+                    # deferred-fetch logic below exists to avoid) — a
+                    # worse trade than an under-reported timing field.
                     jax.block_until_ready(metrics)
                     timing["first_call"] = time.perf_counter() - t_call
             else:
@@ -1034,8 +1074,12 @@ def stylize_single(
         )
         alpha /= 2.0
 
-    # settle deferred metric fetches (every program future was consumed by
-    # the loop above, so no compile RPC can still be in flight here)
+    # settle deferred metric fetches. The loop above normally consumed
+    # every program future, but join any straggler explicitly (signature
+    # drift, failed compile) — a device_get with a compile RPC still in
+    # flight stalls for minutes on this backend.
+    if hasattr(programs, "wait_all"):
+        programs.wait_all()
     for s in info["scales"]:
         cv = [np.asarray(jax.device_get(c)) for c in s["curve"]]
         s["curve"] = (

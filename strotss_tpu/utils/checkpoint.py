@@ -115,6 +115,12 @@ def save_state(
         "structure": structure_digest(state),
         "fingerprint": fingerprint,
     }
+    # the authoritative meta rides INSIDE the npz (plain unicode array, no
+    # pickle), so the whole checkpoint commits in the single os.replace
+    # below — a crash between two separate file replaces could otherwise
+    # leave a new state paired with stale metadata, and a resume would
+    # silently re-run a chunk on the already-advanced state
+    arrays["meta_json"] = np.asarray(json.dumps(meta))
     # suffix must end in .npz or np.savez silently writes to "<tmp>.npz"
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp.npz")
     os.close(fd)
@@ -124,6 +130,8 @@ def save_state(
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+    # human-readable mirror (and pre-upgrade reader compatibility); if a
+    # crash lands between the two replaces, load_meta prefers the npz copy
     tmp_meta = os.path.join(directory, _STATE_META + ".tmp")
     with open(tmp_meta, "w") as f:
         json.dump(meta, f)
@@ -145,6 +153,17 @@ def restore_extras(directory: str) -> Dict[str, np.ndarray]:
 def load_meta(directory: Optional[str]) -> Optional[Dict[str, Any]]:
     if not directory:
         return None
+    # authoritative copy: the meta embedded in state.npz (written in the
+    # same atomic replace as the leaves — cannot be torn from them)
+    npz = os.path.join(directory, _STATE_NPZ)
+    if os.path.exists(npz):
+        try:
+            data = np.load(npz)
+            if "meta_json" in data.files:
+                return json.loads(data["meta_json"].item())
+        except Exception:
+            pass  # unreadable npz → restore_state raises the clean error
+    # legacy checkpoints (meta only in the sidecar)
     path = os.path.join(directory, _STATE_META)
     if not os.path.exists(path):
         return None

@@ -34,3 +34,18 @@ def make_logger(name: str = _NAME) -> logging.Logger:
         logger.addHandler(sh)
     logger.setLevel(logging.INFO)
     return logger
+
+
+def route_to_stderr() -> logging.Logger:
+    """Re-point the shared logger's stream handlers at stderr.
+
+    Serving mode uses this: its stdout is the machine-readable JSONL
+    results stream by default, and a single INFO line (weights loader,
+    ``write_image``, warmup) interleaved into it would corrupt a
+    consumer's parse. The CLI keeps the reference's stdout handler.
+    """
+    lg = make_logger()
+    for h in lg.handlers:
+        if isinstance(h, logging.StreamHandler):
+            h.setStream(sys.stderr)
+    return lg

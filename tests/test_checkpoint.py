@@ -131,3 +131,42 @@ def test_per_step_progress_and_curve(rng):
     np.testing.assert_allclose(
         [c[2]["loss"] for c in calls[:4]], info["scales"][0]["curve"][:, 0]
     )
+
+def test_torn_sidecar_meta_is_ignored(tmp_path):
+    """The authoritative meta rides inside state.npz (same atomic replace
+    as the leaves). A crash between the npz replace and the sidecar-json
+    replace must not pair new state with stale metadata — that would make
+    a resume silently re-run a chunk on the already-advanced state."""
+    import os
+    import shutil
+
+    from strotss_tpu.utils import checkpoint as C
+
+    d = str(tmp_path / "ck")
+    pyr = (np.zeros((1, 4, 4, 3), np.float32),)
+    opt = {"nu": np.zeros((1, 4, 4, 3), np.float32)}
+    key = np.zeros((2,), np.uint32)
+    C.save_state(d, 0, 100, 1.0, pyr, opt, key)
+    stale = str(tmp_path / "stale.json")
+    shutil.copy(os.path.join(d, "state.json"), stale)
+    C.save_state(d, 1, 200, 1.0, pyr, opt, key)
+    # simulate the crash window: new npz on disk, sidecar still the old one
+    shutil.copy(stale, os.path.join(d, "state.json"))
+    meta = C.load_meta(d)
+    assert meta["scale_index"] == 1 and meta["done_steps"] == 200
+
+
+def test_legacy_sidecar_only_meta_still_loads(tmp_path):
+    """Checkpoints written before the embedded-meta format (sidecar json
+    only) keep loading."""
+    import json as _json
+
+    from strotss_tpu.utils import checkpoint as C
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    np.savez(str(d / "state.npz"), leaf_0=np.zeros((2,), np.float32))
+    with open(d / "state.json", "w") as f:
+        _json.dump({"scale_index": 2, "done_steps": 50}, f)
+    meta = C.load_meta(str(d))
+    assert meta["scale_index"] == 2 and meta["done_steps"] == 50

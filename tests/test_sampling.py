@@ -187,3 +187,34 @@ def test_integer_coords_paths_bit_identical(rng):
     wa = S.bilinear_weight_matrix((12, 10), coords)
     wb = S.bilinear_weight_matrix((12, 10), coords, integer_coords=True)
     np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
+def test_empty_region_falls_back_to_grid():
+    """A region with ZERO valid pixels (possible even past prepare_mask's
+    max<0.1 allpass hatch, e.g. resized max 0.3 with nothing over the 0.5
+    threshold) must not collapse every sample onto index 0 — both samplers
+    fall back to the unmasked grid for that draw."""
+    key = jax.random.PRNGKey(3)
+    mask = jnp.zeros((16, 16), jnp.float32)
+
+    full = np.asarray(S.full_grid_coords(key, (16, 16), 64, mask=mask))
+    strided = np.asarray(S.strided_grid_coords(key, (16, 16), 64, mask=mask))
+    for coords in (full, strided):
+        assert coords.min() >= 0 and coords.max() < 16
+        assert len(np.unique(coords, axis=0)) > 1, (
+            "all samples collapsed onto one point"
+        )
+    # the fallback draw matches the unmasked sampler exactly (same key):
+    # an empty region degenerates to 'sample anywhere', not to new logic
+    np.testing.assert_array_equal(
+        full, np.asarray(S.full_grid_coords(key, (16, 16), 64))
+    )
+
+
+def test_nonempty_region_sampling_unchanged_by_fallback():
+    """The fallback is a strict no-op whenever >=1 valid pixel exists —
+    masked-run trajectories and parity fixtures are untouched."""
+    key = jax.random.PRNGKey(5)
+    mask = jnp.zeros((16, 16), jnp.float32).at[4:8, 4:8].set(1.0)
+    coords = np.asarray(S.full_grid_coords(key, (16, 16), 32, mask=mask))
+    assert (coords >= 4).all() and (coords < 8).all()

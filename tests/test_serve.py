@@ -187,3 +187,28 @@ def test_serve_stdin_stream(tmp_path, rng, monkeypatch):
         results = [json.loads(line) for line in f]
     assert len(results) == 1 and results[0]["ok"]
     assert os.path.exists(op)
+
+
+@pytest.mark.slow
+def test_serve_stdout_is_pure_jsonl(tmp_path, rng, capsys):
+    """Default results stream (stdout) must be machine-readable: every
+    stdout line parses as JSON; the shared logger (weights loader,
+    write_image, the final summary) is routed to stderr by serve."""
+    from strotss_tpu.serve import main
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    jp = str(tmp_path / "jobs.jsonl")
+    with open(jp, "w") as f:
+        f.write(json.dumps({"content": cp, "style": sp,
+                            "output": str(tmp_path / "o.jpg")}) + "\n")
+        f.write("not json {\n")
+    rc = main(["--jobs", jp, "--level", "1", "--max_iter", "2",
+               "--compute_dtype", "float32", "--no_pallas",
+               "--taps", "block1_conv1"])
+    assert rc == 0
+    out, err = capsys.readouterr()
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 2, f"expected 2 result lines, got: {lines!r}"
+    results = [json.loads(ln) for ln in lines]  # raises if interleaved
+    assert [r["ok"] for r in results] == [True, False]
+    assert "Served 1 jobs" in err, "log lines must land on stderr"

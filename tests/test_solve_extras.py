@@ -116,3 +116,35 @@ def test_precompile_off_matches(rng):
     img_b, _ = stylize_single(
         content, style, StrotssConfig(precompile=False, **kw), params)
     np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_b))
+
+
+def test_scale_signatures_resume_aware():
+    """precompile_scales must compile exactly the programs a resumed run
+    will call: none for completed scales (their unconsumed compile futures
+    would also stall the end-of-run metric fetch), the remaining-steps
+    chunk plan with full-res ``prev`` at the checkpoint's scale, and the
+    normal signatures afterwards."""
+    from strotss_tpu.solve import _scale_signatures
+
+    cfg = StrotssConfig(levels=3, max_iter=200, log_every=100)
+    c, s = (1, 512, 512, 3), (1, 512, 512, 3)
+    full = _scale_signatures(cfg, c, s)
+    assert full == _scale_signatures(cfg, c, s, 0, 0)  # default unchanged
+
+    res = _scale_signatures(cfg, c, s, resume_scale=1, resume_done=150)
+    assert all(sig[0] >= 1 for sig in res), "completed scale 0 still listed"
+    at1 = [sig for sig in res if sig[0] == 1]
+    # 50 steps remain -> single 50-step chunk; prev is full-res content
+    # (the skipped scale produced no stylized image)
+    assert {sig[1] for sig in at1} == {50}
+    assert all(sig[5] == c for sig in at1)
+    # the scales after the resume point keep their normal-path signatures
+    assert [sig for sig in res if sig[0] == 2] == \
+        [sig for sig in full if sig[0] == 2]
+
+    # zero steps remaining at the final chunk boundary: nothing to compile
+    # for that scale, later scales unchanged
+    res0 = _scale_signatures(cfg, c, s, resume_scale=1, resume_done=200)
+    assert not [sig for sig in res0 if sig[0] == 1]
+    assert [sig for sig in res0 if sig[0] == 2] == \
+        [sig for sig in full if sig[0] == 2]

@@ -82,3 +82,23 @@ def test_check_image_accepts_numpy():
     check_masks(
         np.zeros((2, 8, 8, 1), np.float32), np.zeros((2, 8, 8, 1), np.float32)
     )
+
+
+def test_shard_samples_requires_sample_axis():
+    """An explicit scaling request must not silently no-op (mesh=None) or
+    die deep inside the trace (mesh without the axis) — same upfront
+    contract as shard_spatial."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.solve import stylize_single
+
+    cfg = StrotssConfig(
+        levels=1, max_iter=1, log_every=1, sample_size=16,
+        compute_dtype="float32", use_pallas=False,
+        taps=("block1_conv1",), shard_samples=True,
+    )
+    params = random_params("16", 0)
+    with pytest.raises(ValueError, match="'sample' axis"):
+        stylize_single(_img(1, 32, 32, 3), _img(1, 32, 32, 3), cfg, params)
+    with pytest.raises(ValueError, match="'sample' axis"):
+        stylize_batch(_img(2, 32, 32, 3), _img(2, 32, 32, 3), cfg)

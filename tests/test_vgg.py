@@ -252,3 +252,41 @@ def test_bf16_mixed_precision_policy():
     # and pure-f32 mode is untouched by the policy
     outs32 = vgg_apply(params, x, taps=taps, compute_dtype=jnp.float32)
     assert all(o.dtype == jnp.float32 for o in outs32)
+
+
+def test_weight_modes_never_cross_h5_candidates(tmp_path, monkeypatch):
+    """The ~/.keras scan must keep the two weight modes apart: default
+    (STROTSS-normalized) mode considers ONLY 'norm' files, keras mode must
+    NEVER pick one up — same architecture, so a norm file would parse
+    fine, run under preprocessing it was never trained for, and poison
+    the per-mode npz cache."""
+    import os
+
+    from strotss_tpu.models import weights as W
+
+    home = tmp_path / "home"
+    for sub in ("models", "datasets"):
+        (home / ".keras" / sub).mkdir(parents=True)
+    (home / ".keras" / "models" / "vgg16_norm.h5").write_bytes(b"x")
+    (home / ".keras" / "models"
+     / "vgg16_weights_tf_dim_ordering_tf_kernels_notop.h5").write_bytes(b"x")
+    monkeypatch.setenv("HOME", str(home))
+    monkeypatch.delenv("STROTSS_TPU_WEIGHTS", raising=False)
+    monkeypatch.setattr(W, "_CACHE_DIR", str(tmp_path / "cache"))
+    tried = []
+    monkeypatch.setattr(
+        W, "_load_h5", lambda path, vgg_type: tried.append(path) or None
+    )
+    monkeypatch.setattr(W, "_try_keras_download", lambda vgg_type: None)
+    monkeypatch.setattr(W, "_try_norm_download", lambda vgg_type: None)
+
+    W.load_vgg_params("16", use_keras_weight=True)
+    assert tried and all(
+        "norm" not in os.path.basename(p).lower() for p in tried
+    ), f"keras mode considered a normalized-VGG file: {tried}"
+
+    tried.clear()
+    W.load_vgg_params("16", use_keras_weight=False)
+    assert tried and all(
+        "norm" in os.path.basename(p).lower() for p in tried
+    ), f"default mode considered a non-normalized file: {tried}"
