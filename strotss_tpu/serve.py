@@ -39,6 +39,18 @@ Warmup: ``--warmup HxW[:HxW]`` (repeatable; content[:style] on-disk
 sizes) pays each shape bucket's one-time compile + remote program load
 at deploy time by running a synthetic job through the exact serving
 path before any real job is read.
+
+Scale-out: ``--data_devices D`` shards every full batch group across D
+devices over a 1-D ``data`` mesh (pairs are independent, so the only
+cross-device traffic is the initial ``device_put`` — the production
+scaling axis on a pod slice; see ``parallel/mesh.py``). Undersized
+flush groups run unsharded. Requires ``--batch`` divisible by D.
+
+Shutdown: SIGTERM drains — an in-flight job finishes (no torn output
+files), queued-but-unstarted jobs in the current batch group still run,
+then the process exits 0; a SIGTERM while idle-blocked on stdin exits
+immediately after the drain. A second SIGTERM during the drain kills
+the process.
 """
 
 from __future__ import annotations
@@ -46,6 +58,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import time
 from typing import Dict, List, Optional
@@ -69,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch", type=int, default=1,
                         help="group up to N consecutive same-shape unmasked "
                              "jobs into one per-pair-exact batched program")
+    parser.add_argument("--data_devices", type=int, default=0,
+                        help="shard batched groups across this many devices "
+                             "over a 'data' mesh axis (pairs are "
+                             "independent — the production scaling axis on "
+                             "a pod slice). Requires --batch divisible by "
+                             "it; groups whose size isn't divisible (end-of-"
+                             "stream flushes) run unsharded. 0 = off.")
     parser.add_argument("--warmup", action="append", default=[],
                         metavar="HxW[:HxW]",
                         help="pre-compile a shape bucket at startup by "
@@ -170,7 +190,7 @@ def _batchable(job: Dict) -> bool:
                    ("content_mask", "style_mask", "alpha", "seed"))
 
 
-def _run_batch(args, jobs: List[Dict], vgg_params) -> List[Dict]:
+def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
     import jax.numpy as jnp
 
     from strotss_tpu.parallel.batch import stylize_batch
@@ -181,10 +201,15 @@ def _run_batch(args, jobs: List[Dict], vgg_params) -> List[Dict]:
         c, s, _, _ = _load_job_inputs(args, job)
         contents.append(c)
         styles.append(s)
+    # NamedSharding needs the pair axis divisible by the mesh's data axis;
+    # undersized groups (end-of-stream flushes) run unsharded
+    if mesh is not None and len(jobs) % mesh.shape["data"] != 0:
+        mesh = None
     t0 = time.perf_counter()
     imgs, info = stylize_batch(jnp.concatenate(contents),
                                jnp.concatenate(styles),
-                               _config(args, jobs[0]), vgg_params=vgg_params)
+                               _config(args, jobs[0]), vgg_params=vgg_params,
+                               mesh=mesh)
     per = round((time.perf_counter() - t0) / len(jobs), 3)
     # final-scale curve is (n_steps, B, 3): per-pair final losses
     scales = info.get("scales") or []
@@ -194,13 +219,54 @@ def _run_batch(args, jobs: List[Dict], vgg_params) -> List[Dict]:
         write_image(imgs[b], job["output"])
         result = {"output": job["output"], "ok": True,
                   "seconds": per, "batched": len(jobs)}
+        if mesh is not None:
+            result["data_devices"] = int(mesh.shape["data"])
         if curve is not None and len(curve):
             result["loss"] = float(curve[-1, b, 0])
         results.append(result)
     return results
 
 
-def _warmup(args, vgg_params) -> None:
+def _data_mesh(args):
+    """Build the 1-D 'data' mesh for ``--data_devices`` (None when off).
+
+    Uses the default backend's devices; on a dev box whose accelerator
+    count is smaller than requested, falls back to the virtual CPU
+    devices (with a warning) so sharded serving can be exercised without
+    a pod slice."""
+    if args.data_devices <= 0:
+        return None
+    if args.batch <= 1 or args.batch % args.data_devices != 0:
+        raise ValueError(
+            f"--data_devices {args.data_devices} requires --batch to be a "
+            f"positive multiple of it (got --batch {args.batch})"
+        )
+    import jax
+
+    from strotss_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if len(devices) < args.data_devices:
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= args.data_devices:
+            logger.warning(
+                f"Only {len(devices)} {devices[0].platform} device(s) "
+                f"present; sharding over {args.data_devices} virtual CPU "
+                "devices instead."
+            )
+            devices = cpus
+        else:
+            raise ValueError(
+                f"--data_devices {args.data_devices} needs that many "
+                f"devices, have {len(devices)}"
+            )
+    return make_mesh((args.data_devices,), ("data",), devices=devices)
+
+
+def _warmup(args, vgg_params, mesh=None) -> None:
     """Run one synthetic job per ``--warmup HxW`` bucket through the real
     serving path (same loaders, same config, same jit-cached programs),
     discarding the output — the first production job of that shape bucket
@@ -248,7 +314,7 @@ def _warmup(args, vgg_params) -> None:
             t0 = time.perf_counter()
             if args.batch > 1:
                 _run_batch(args, [dict(job) for _ in range(args.batch)],
-                           vgg_params)
+                           vgg_params, mesh=mesh)
             # always warm the single program: it serves non-batchable
             # jobs, end-of-stream flushes of one, and the retry-singly
             # fallback after a failed batch
@@ -259,14 +325,54 @@ def _warmup(args, vgg_params) -> None:
             )
 
 
-def _job_lines(path: str):
-    stream = sys.stdin if path == "-" else open(path)
+class _DrainSignal(Exception):
+    """Raised by the SIGTERM handler while the loop is blocked reading
+    input — never while a job is executing (see ``_install_sigterm``)."""
+
+
+def _install_sigterm(state: Dict):
+    """Graceful-drain SIGTERM handling for a long-lived serving process.
+
+    SIGTERM while a job is executing sets ``state['draining']`` — the
+    in-flight job finishes (no torn output files / half-consumed donated
+    buffers), queued-but-unstarted pending jobs still run, then the loop
+    exits. SIGTERM while blocked reading the job stream (the idle state of
+    a queue-fed ``--jobs -`` deployment) raises ``_DrainSignal`` so the
+    blocked ``readline`` is interrupted immediately. A second SIGTERM
+    during the drain phase kills the process (the handler is restored
+    before draining). Returns the previous handler, or None when not in
+    the main thread (signals unavailable — e.g. under a test runner's
+    worker thread; drain degrades to "finish the stream")."""
+
+    def on_sigterm(signum, frame):
+        state["draining"] = True
+        if state.get("in_read"):
+            raise _DrainSignal()
+
     try:
-        for line in stream:
+        return signal.signal(signal.SIGTERM, on_sigterm)
+    except ValueError:
+        return None
+
+
+def _job_lines(path: str, state: Optional[Dict] = None):
+    stream = sys.stdin if path == "-" else open(path)
+    state = state if state is not None else {}
+    try:
+        while True:
+            # mark the blocking read so SIGTERM can interrupt it — but
+            # only it; during the yield (job executing) the handler
+            # defers to the post-job draining check instead
+            state["in_read"] = True
+            line = stream.readline()
+            state["in_read"] = False
+            if not line:
+                break
             line = line.strip()
             if line and not line.startswith("#"):
                 yield line
     finally:
+        state["in_read"] = False
         if stream is not sys.stdin:
             stream.close()
 
@@ -297,13 +403,19 @@ def main(argv=None) -> int:
     enable_compile_cache()
     set_device(args.device_id)
 
+    try:
+        mesh = _data_mesh(args)
+    except ValueError as e:
+        logger.error(str(e))
+        return 2
+
     from strotss_tpu.models.weights import load_vgg_params
 
     vgg_params = load_vgg_params(
         "16", args.use_keras_weight)  # shared across all jobs
 
     if args.warmup:
-        _warmup(args, vgg_params)
+        _warmup(args, vgg_params, mesh=mesh)
 
     out = sys.stdout if args.results == "-" else open(args.results, "w")
 
@@ -314,7 +426,7 @@ def main(argv=None) -> int:
     def run(jobs: List[Dict]):
         if len(jobs) > 1:
             try:
-                for r in _run_batch(args, jobs, vgg_params):
+                for r in _run_batch(args, jobs, vgg_params, mesh=mesh):
                     emit(r)
                 return
             except Exception:
@@ -333,37 +445,55 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     pending: List[Dict] = []
     pending_sig = None
+    sig_state: Dict = {"draining": False, "in_read": False}
+    prev_handler = _install_sigterm(sig_state)
     try:
-        for line in _job_lines(args.jobs):
-            try:
-                job = json.loads(line)
-                if not isinstance(job, dict):
-                    raise ValueError("job line must be a JSON object")
-            except ValueError as e:
-                emit({"ok": False, "error": f"bad job line: {e}"})
-                continue
-            sig = (_shape_sig(args, job)
-                   if args.batch > 1 and _batchable(job) else None)
-            if pending and (sig is None or sig != pending_sig):
-                run(pending)
-                n_done += len(pending)
-                pending = []
-            if sig is None:
-                run([job])
-                n_done += 1
-            else:
-                pending.append(job)
-                pending_sig = sig
-                # a full batch runs NOW — a queue feeding stdin must not
-                # leave N finished-forming jobs waiting for job N+1
-                if len(pending) >= args.batch:
-                    run(pending)
-                    n_done += len(pending)
-                    pending = []
+        try:
+            for line in _job_lines(args.jobs, sig_state):
+                try:
+                    job = json.loads(line)
+                    if not isinstance(job, dict):
+                        raise ValueError("job line must be a JSON object")
+                except ValueError as e:
+                    emit({"ok": False, "error": f"bad job line: {e}"})
+                    continue
+                sig = (_shape_sig(args, job)
+                       if args.batch > 1 and _batchable(job) else None)
+                if pending and (sig is None or sig != pending_sig):
+                    batch, pending = pending, []
+                    run(batch)
+                    n_done += len(batch)
+                if sig is None:
+                    run([job])
+                    n_done += 1
+                else:
+                    pending.append(job)
+                    pending_sig = sig
+                    # a full batch runs NOW — a queue feeding stdin must
+                    # not leave N finished-forming jobs waiting for job N+1
+                    if len(pending) >= args.batch:
+                        batch, pending = pending, []
+                        run(batch)
+                        n_done += len(batch)
+                if sig_state["draining"]:
+                    break
+        except _DrainSignal:
+            pass
+        if sig_state["draining"]:
+            logger.info(
+                f"SIGTERM: draining {len(pending)} pending job(s), "
+                "then exiting."
+            )
+        # restore before the drain phase: a second SIGTERM aborts it
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+            prev_handler = None
         if pending:
             run(pending)
             n_done += len(pending)
     finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         if out is not sys.stdout:
             out.close()
     logger.info(

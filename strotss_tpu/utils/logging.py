@@ -47,5 +47,11 @@ def route_to_stderr() -> logging.Logger:
     lg = make_logger()
     for h in lg.handlers:
         if isinstance(h, logging.StreamHandler):
-            h.setStream(sys.stderr)
+            try:
+                h.setStream(sys.stderr)
+            except ValueError:
+                # setStream flushes the OLD stream first; if that stream
+                # is already closed (process re-daemonized, or a test
+                # runner's capture torn down), swap without flushing
+                h.stream = sys.stderr
     return lg

@@ -90,15 +90,22 @@ def test_serve_full_batch_flushes_before_next_read(tmp_path, rng,
     rp = str(tmp_path / "flush_results.jsonl")
 
     class _Queue:
-        def __iter__(self):
-            for o in outs:
-                yield json.dumps({"content": cp, "style": sp,
-                                  "output": o}) + "\n"
+        """stdin stand-in: serve reads with readline() (so SIGTERM can
+        interrupt the blocking read — see _job_lines)."""
+
+        def __init__(self):
+            self.lines = [json.dumps({"content": cp, "style": sp,
+                                      "output": o}) + "\n" for o in outs]
+
+        def readline(self):
+            if self.lines:
+                return self.lines.pop(0)
             # the batch is full (2/2): its results must already be out
             # before the loop comes back to read another line
             with open(rp) as f:
                 done = [json.loads(line) for line in f]
             assert len(done) == 2 and all(r["ok"] for r in done), done
+            return ""
 
     monkeypatch.setattr("sys.stdin", _Queue())
     rc = main(["--jobs", "-", "--results", rp, "--batch", "2",
@@ -212,3 +219,116 @@ def test_serve_stdout_is_pure_jsonl(tmp_path, rng, capsys):
     results = [json.loads(ln) for ln in lines]  # raises if interleaved
     assert [r["ok"] for r in results] == [True, False]
     assert "Served 1 jobs" in err, "log lines must land on stderr"
+
+
+@pytest.mark.slow
+def test_serve_sigterm_while_reading_drains_pending(tmp_path, rng,
+                                                    monkeypatch):
+    """SIGTERM while blocked reading the job stream (the idle state of a
+    queue-fed deployment) interrupts the read, runs the queued-but-
+    unstarted pending jobs, and exits 0."""
+    import signal
+
+    from strotss_tpu import serve
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    op = str(tmp_path / "drain_out.jpg")
+    rp = str(tmp_path / "drain_results.jsonl")
+
+    class SigtermStdin:
+        """One batchable job, then SIGTERM arrives during the next
+        (blocking) read — serve's handler raises there, never mid-job."""
+
+        def __init__(self, lines):
+            self.lines = list(lines)
+
+        def readline(self):
+            if self.lines:
+                return self.lines.pop(0)
+            signal.raise_signal(signal.SIGTERM)
+            raise AssertionError("handler should have raised")
+
+    job = json.dumps({"content": cp, "style": sp, "output": op}) + "\n"
+    monkeypatch.setattr("sys.stdin", SigtermStdin([job]))
+    before = signal.getsignal(signal.SIGTERM)
+    # --batch 2: the job goes PENDING (waiting for a batch-mate), so only
+    # the drain path can have produced its result
+    rc = serve.main(["--jobs", "-", "--results", rp, "--batch", "2",
+                     "--level", "1", "--max_iter", "2",
+                     "--compute_dtype", "float32", "--no_pallas",
+                     "--taps", "block1_conv1"])
+    assert rc == 0
+    assert signal.getsignal(signal.SIGTERM) is before, "handler restored"
+    with open(rp) as f:
+        results = [json.loads(line) for line in f]
+    assert len(results) == 1 and results[0]["ok"]
+    assert os.path.exists(op)
+
+
+@pytest.mark.slow
+def test_serve_sigterm_mid_job_finishes_job_then_exits(tmp_path, rng,
+                                                       monkeypatch):
+    """SIGTERM during job execution must NOT interrupt it (torn output
+    files); the job finishes and emits, then the loop stops reading."""
+    import signal
+
+    from strotss_tpu import serve
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    o1 = str(tmp_path / "mid1.jpg")
+    o2 = str(tmp_path / "mid2.jpg")
+
+    orig = serve._run_single
+
+    def run_single_then_sigterm(args, job, vgg_params):
+        result = orig(args, job, vgg_params)
+        signal.raise_signal(signal.SIGTERM)  # lands while in_read=False:
+        return result                        # sets the draining flag only
+
+    monkeypatch.setattr(serve, "_run_single", run_single_then_sigterm)
+    jp = str(tmp_path / "mid_jobs.jsonl")
+    rp = str(tmp_path / "mid_results.jsonl")
+    with open(jp, "w") as f:
+        f.write(json.dumps({"content": cp, "style": sp, "output": o1}) + "\n")
+        f.write(json.dumps({"content": cp, "style": sp, "output": o2}) + "\n")
+    rc = serve.main(["--jobs", jp, "--results", rp,
+                     "--level", "1", "--max_iter", "2",
+                     "--compute_dtype", "float32", "--no_pallas",
+                     "--taps", "block1_conv1"])
+    assert rc == 0
+    with open(rp) as f:
+        results = [json.loads(line) for line in f]
+    # job 1 completed and emitted; job 2 was never started
+    assert len(results) == 1 and results[0]["ok"]
+    assert os.path.exists(o1) and not os.path.exists(o2)
+
+
+@pytest.mark.slow
+def test_serve_data_devices_shards_full_batches(tmp_path, rng):
+    """--data_devices D shards full batch groups over a 'data' mesh (the
+    8 virtual CPU devices stand in for a pod slice); undersized flush
+    groups fall back to unsharded."""
+    cp, sp = _write_inputs(tmp_path, rng)
+    outs = [str(tmp_path / f"dd{i}.jpg") for i in range(3)]
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": outs[0]},
+        {"content": cp, "style": sp, "output": outs[1]},
+        {"content": cp, "style": sp, "output": outs[2]},  # flush of 1
+    ], extra=("--batch", "2", "--data_devices", "2"))
+    assert [r["ok"] for r in results] == [True, True, True]
+    assert results[0].get("data_devices") == 2
+    assert results[1].get("data_devices") == 2
+    assert "data_devices" not in results[2] and "batched" not in results[2]
+    for o in outs:
+        assert os.path.exists(o)
+
+
+def test_serve_data_devices_validation(tmp_path):
+    from strotss_tpu.serve import main
+
+    jp = str(tmp_path / "empty.jsonl")
+    open(jp, "w").close()
+    # not a divisor of --batch
+    assert main(["--jobs", jp, "--batch", "4", "--data_devices", "3"]) == 2
+    # batching off
+    assert main(["--jobs", jp, "--data_devices", "2"]) == 2
