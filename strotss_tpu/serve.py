@@ -40,17 +40,21 @@ sizes) pays each shape bucket's one-time compile + remote program load
 at deploy time by running a synthetic job through the exact serving
 path before any real job is read.
 
-Scale-out: ``--data_devices D`` shards every full batch group across D
-devices over a 1-D ``data`` mesh (pairs are independent, so the only
+Scale-out: ``--data_devices D`` shards batch groups across D devices
+over a 1-D ``data`` mesh (pairs are independent, so the only
 cross-device traffic is the initial ``device_put`` — the production
-scaling axis on a pod slice; see ``parallel/mesh.py``). Undersized
-flush groups run unsharded. Requires ``--batch`` divisible by D.
+scaling axis on a pod slice; see ``parallel/mesh.py``). Requires
+``--batch`` divisible by D; flush groups whose size isn't divisible by
+D run unsharded. Fails fast when fewer than D accelerators exist
+(``--allow_cpu_devices`` opts into virtual CPU devices for dev/test).
 
 Shutdown: SIGTERM drains — an in-flight job finishes (no torn output
 files), queued-but-unstarted jobs in the current batch group still run,
-then the process exits 0; a SIGTERM while idle-blocked on stdin exits
-immediately after the drain. A second SIGTERM during the drain kills
-the process.
+then the process exits 0; a SIGTERM while idle-blocked on stdin is
+observed within the read poll interval (~0.25 s) and exits after the
+drain. A second SIGTERM during the drain kills the process. A job line
+consumed from the stream always gets exactly one result line — the
+SIGTERM path cannot lose one (see ``_LineReader``).
 """
 
 from __future__ import annotations
@@ -87,8 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "over a 'data' mesh axis (pairs are "
                              "independent — the production scaling axis on "
                              "a pod slice). Requires --batch divisible by "
-                             "it; groups whose size isn't divisible (end-of-"
-                             "stream flushes) run unsharded. 0 = off.")
+                             "it; flush groups whose size isn't divisible "
+                             "run unsharded. 0 = off.")
+    parser.add_argument("--allow_cpu_devices", action="store_true",
+                        help="let --data_devices fall back to virtual CPU "
+                             "devices when the accelerator count is too "
+                             "small (dev/test only — never in production)")
     parser.add_argument("--warmup", action="append", default=[],
                         metavar="HxW[:HxW]",
                         help="pre-compile a shape bucket at startup by "
@@ -230,10 +238,11 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
 def _data_mesh(args):
     """Build the 1-D 'data' mesh for ``--data_devices`` (None when off).
 
-    Uses the default backend's devices; on a dev box whose accelerator
-    count is smaller than requested, falls back to the virtual CPU
-    devices (with a warning) so sharded serving can be exercised without
-    a pod slice."""
+    Uses the default backend's devices and fails fast when there are
+    fewer than requested — silently serving batches 10-100x slower on
+    the wrong device class is worse than not starting. A dev box without
+    a pod slice can opt into the virtual CPU devices explicitly with
+    ``--allow_cpu_devices``."""
     if args.data_devices <= 0:
         return None
     if args.batch <= 1 or args.batch % args.data_devices != 0:
@@ -251,17 +260,19 @@ def _data_mesh(args):
             cpus = jax.devices("cpu")
         except RuntimeError:
             cpus = []
-        if len(cpus) >= args.data_devices:
+        if args.allow_cpu_devices and len(cpus) >= args.data_devices:
             logger.warning(
                 f"Only {len(devices)} {devices[0].platform} device(s) "
                 f"present; sharding over {args.data_devices} virtual CPU "
-                "devices instead."
+                "devices instead (--allow_cpu_devices)."
             )
             devices = cpus
         else:
             raise ValueError(
                 f"--data_devices {args.data_devices} needs that many "
-                f"devices, have {len(devices)}"
+                f"devices, have {len(devices)} (and "
+                f"{len(cpus)} CPU device(s); pass --allow_cpu_devices to "
+                "use them for dev/testing)"
             )
     return make_mesh((args.data_devices,), ("data",), devices=devices)
 
@@ -325,54 +336,112 @@ def _warmup(args, vgg_params, mesh=None) -> None:
             )
 
 
-class _DrainSignal(Exception):
-    """Raised by the SIGTERM handler while the loop is blocked reading
-    input — never while a job is executing (see ``_install_sigterm``)."""
+# sentinel distinguishing "signal.signal failed (not the main thread)"
+# from "previous handler is None (installed from C, not restorable)"
+_SIGNALS_UNAVAILABLE = object()
 
 
 def _install_sigterm(state: Dict):
     """Graceful-drain SIGTERM handling for a long-lived serving process.
 
-    SIGTERM while a job is executing sets ``state['draining']`` — the
-    in-flight job finishes (no torn output files / half-consumed donated
-    buffers), queued-but-unstarted pending jobs still run, then the loop
-    exits. SIGTERM while blocked reading the job stream (the idle state of
-    a queue-fed ``--jobs -`` deployment) raises ``_DrainSignal`` so the
-    blocked ``readline`` is interrupted immediately. A second SIGTERM
-    during the drain phase kills the process (the handler is restored
-    before draining). Returns the previous handler, or None when not in
-    the main thread (signals unavailable — e.g. under a test runner's
-    worker thread; drain degrades to "finish the stream")."""
+    The handler only sets ``state['draining']`` — it never raises, so a
+    job line can never be consumed-but-lost and an in-flight job is never
+    interrupted mid-write. Every blocking wait in the loop polls the flag
+    (``_LineReader.readline``), so a SIGTERM while idle-blocked on stdin
+    is observed within the poll interval. Returns the previous handler
+    (which may be None for a C-installed one), or ``_SIGNALS_UNAVAILABLE``
+    when not in the main thread (e.g. under a test runner's worker
+    thread; drain degrades to "finish the stream")."""
 
     def on_sigterm(signum, frame):
         state["draining"] = True
-        if state.get("in_read"):
-            raise _DrainSignal()
 
     try:
         return signal.signal(signal.SIGTERM, on_sigterm)
     except ValueError:
-        return None
+        return _SIGNALS_UNAVAILABLE
 
 
-def _job_lines(path: str, state: Optional[Dict] = None):
+def _restore_sigterm(prev) -> None:
+    if prev is _SIGNALS_UNAVAILABLE:
+        return
+    # a None previous handler was installed from C and cannot be re-set
+    # through the signal module — fall back to the default action so the
+    # documented "a second SIGTERM kills the process" still holds
+    signal.signal(signal.SIGTERM,
+                  prev if prev is not None else signal.SIG_DFL)
+
+
+class _LineReader:
+    """Interruptible line reads from a (possibly blocking) job stream.
+
+    ``readline`` in the stdlib cannot be safely interrupted by a signal
+    handler that raises (the line may already be consumed from the pipe
+    when the exception unwinds — silently losing a job). Instead, ONE
+    daemon thread performs strictly pull-based reads — a line is only
+    requested when the caller asks for one, so there is no read-ahead to
+    lose — and the caller waits on a queue with a timeout, polling the
+    drain flag between ticks."""
+
+    _POLL_SECONDS = 0.25
+
+    def __init__(self, stream):
+        import queue
+        import threading
+
+        self._stream = stream
+        self._req = threading.Semaphore(0)
+        self._lines: "queue.Queue" = queue.Queue()
+        self._empty = queue.Empty
+        self._outstanding = False
+        t = threading.Thread(target=self._reader, daemon=True,
+                             name="strotss-serve-jobs")
+        t.start()
+
+    def _reader(self):
+        while True:
+            self._req.acquire()
+            try:
+                line = self._stream.readline()
+            except Exception:
+                line = ""  # stream closed under us: report EOF
+            self._lines.put(line)
+            if not line:
+                return
+
+    def readline(self, should_stop) -> Optional[str]:
+        """Next raw line; "" at EOF; None when ``should_stop()`` turned
+        true while waiting (the pending request stays live, so a line
+        arriving later is returned by a subsequent call, not lost)."""
+        if not self._outstanding:
+            self._req.release()
+            self._outstanding = True
+        while True:
+            try:
+                line = self._lines.get(timeout=self._POLL_SECONDS)
+                self._outstanding = False
+                return line
+            except self._empty:
+                if should_stop():
+                    return None
+
+
+def _job_lines(path: str, should_stop=lambda: False):
+    """Yield job lines; ends at EOF or when ``should_stop()`` turns true
+    (checked during every blocking wait and between lines)."""
     stream = sys.stdin if path == "-" else open(path)
-    state = state if state is not None else {}
+    reader = _LineReader(stream)
     try:
         while True:
-            # mark the blocking read so SIGTERM can interrupt it — but
-            # only it; during the yield (job executing) the handler
-            # defers to the post-job draining check instead
-            state["in_read"] = True
-            line = stream.readline()
-            state["in_read"] = False
-            if not line:
+            line = reader.readline(should_stop)
+            if not line:  # EOF ("") or drain (None)
                 break
             line = line.strip()
             if line and not line.startswith("#"):
                 yield line
+            if should_stop():
+                break
     finally:
-        state["in_read"] = False
         if stream is not sys.stdin:
             stream.close()
 
@@ -445,55 +514,49 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     pending: List[Dict] = []
     pending_sig = None
-    sig_state: Dict = {"draining": False, "in_read": False}
+    sig_state: Dict = {"draining": False}
     prev_handler = _install_sigterm(sig_state)
     try:
-        try:
-            for line in _job_lines(args.jobs, sig_state):
-                try:
-                    job = json.loads(line)
-                    if not isinstance(job, dict):
-                        raise ValueError("job line must be a JSON object")
-                except ValueError as e:
-                    emit({"ok": False, "error": f"bad job line: {e}"})
-                    continue
-                sig = (_shape_sig(args, job)
-                       if args.batch > 1 and _batchable(job) else None)
-                if pending and (sig is None or sig != pending_sig):
+        for line in _job_lines(args.jobs,
+                               should_stop=lambda: sig_state["draining"]):
+            try:
+                job = json.loads(line)
+                if not isinstance(job, dict):
+                    raise ValueError("job line must be a JSON object")
+            except ValueError as e:
+                emit({"ok": False, "error": f"bad job line: {e}"})
+                continue
+            sig = (_shape_sig(args, job)
+                   if args.batch > 1 and _batchable(job) else None)
+            if pending and (sig is None or sig != pending_sig):
+                batch, pending = pending, []
+                run(batch)
+                n_done += len(batch)
+            if sig is None:
+                run([job])
+                n_done += 1
+            else:
+                pending.append(job)
+                pending_sig = sig
+                # a full batch runs NOW — a queue feeding stdin must
+                # not leave N finished-forming jobs waiting for job N+1
+                if len(pending) >= args.batch:
                     batch, pending = pending, []
                     run(batch)
                     n_done += len(batch)
-                if sig is None:
-                    run([job])
-                    n_done += 1
-                else:
-                    pending.append(job)
-                    pending_sig = sig
-                    # a full batch runs NOW — a queue feeding stdin must
-                    # not leave N finished-forming jobs waiting for job N+1
-                    if len(pending) >= args.batch:
-                        batch, pending = pending, []
-                        run(batch)
-                        n_done += len(batch)
-                if sig_state["draining"]:
-                    break
-        except _DrainSignal:
-            pass
         if sig_state["draining"]:
             logger.info(
                 f"SIGTERM: draining {len(pending)} pending job(s), "
                 "then exiting."
             )
         # restore before the drain phase: a second SIGTERM aborts it
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
-            prev_handler = None
+        _restore_sigterm(prev_handler)
+        prev_handler = _SIGNALS_UNAVAILABLE  # don't restore twice
         if pending:
             run(pending)
             n_done += len(pending)
     finally:
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
+        _restore_sigterm(prev_handler)
         if out is not sys.stdout:
             out.close()
     logger.info(

@@ -225,9 +225,10 @@ def test_serve_stdout_is_pure_jsonl(tmp_path, rng, capsys):
 def test_serve_sigterm_while_reading_drains_pending(tmp_path, rng,
                                                     monkeypatch):
     """SIGTERM while blocked reading the job stream (the idle state of a
-    queue-fed deployment) interrupts the read, runs the queued-but-
+    queue-fed deployment) interrupts the wait, runs the queued-but-
     unstarted pending jobs, and exits 0."""
     import signal
+    import threading
 
     from strotss_tpu import serve
 
@@ -236,20 +237,24 @@ def test_serve_sigterm_while_reading_drains_pending(tmp_path, rng,
     rp = str(tmp_path / "drain_results.jsonl")
 
     class SigtermStdin:
-        """One batchable job, then SIGTERM arrives during the next
-        (blocking) read — serve's handler raises there, never mid-job."""
+        """One batchable job, then SIGTERM arrives while the loop is
+        blocked waiting for the next line — the drain-flag poll in
+        _LineReader.readline must observe it and end the stream."""
 
         def __init__(self, lines):
             self.lines = list(lines)
+            self.blocked = threading.Event()
 
         def readline(self):
             if self.lines:
                 return self.lines.pop(0)
-            signal.raise_signal(signal.SIGTERM)
-            raise AssertionError("handler should have raised")
+            signal.raise_signal(signal.SIGTERM)  # delivered to main thread
+            self.blocked.wait()  # stay blocked, like an idle stdin pipe
+            return ""
 
     job = json.dumps({"content": cp, "style": sp, "output": op}) + "\n"
-    monkeypatch.setattr("sys.stdin", SigtermStdin([job]))
+    fake = SigtermStdin([job])
+    monkeypatch.setattr("sys.stdin", fake)
     before = signal.getsignal(signal.SIGTERM)
     # --batch 2: the job goes PENDING (waiting for a batch-mate), so only
     # the drain path can have produced its result
@@ -257,6 +262,7 @@ def test_serve_sigterm_while_reading_drains_pending(tmp_path, rng,
                      "--level", "1", "--max_iter", "2",
                      "--compute_dtype", "float32", "--no_pallas",
                      "--taps", "block1_conv1"])
+    fake.blocked.set()  # release the reader thread
     assert rc == 0
     assert signal.getsignal(signal.SIGTERM) is before, "handler restored"
     with open(rp) as f:
@@ -282,8 +288,8 @@ def test_serve_sigterm_mid_job_finishes_job_then_exits(tmp_path, rng,
 
     def run_single_then_sigterm(args, job, vgg_params):
         result = orig(args, job, vgg_params)
-        signal.raise_signal(signal.SIGTERM)  # lands while in_read=False:
-        return result                        # sets the draining flag only
+        signal.raise_signal(signal.SIGTERM)  # mid-job: only sets the
+        return result                        # draining flag, never raises
 
     monkeypatch.setattr(serve, "_run_single", run_single_then_sigterm)
     jp = str(tmp_path / "mid_jobs.jsonl")
@@ -306,15 +312,16 @@ def test_serve_sigterm_mid_job_finishes_job_then_exits(tmp_path, rng,
 @pytest.mark.slow
 def test_serve_data_devices_shards_full_batches(tmp_path, rng):
     """--data_devices D shards full batch groups over a 'data' mesh (the
-    8 virtual CPU devices stand in for a pod slice); undersized flush
-    groups fall back to unsharded."""
+    8 virtual CPU devices stand in for a pod slice, via the explicit
+    --allow_cpu_devices opt-in); non-divisible flush groups fall back to
+    unsharded."""
     cp, sp = _write_inputs(tmp_path, rng)
     outs = [str(tmp_path / f"dd{i}.jpg") for i in range(3)]
     results = _serve(tmp_path, [
         {"content": cp, "style": sp, "output": outs[0]},
         {"content": cp, "style": sp, "output": outs[1]},
         {"content": cp, "style": sp, "output": outs[2]},  # flush of 1
-    ], extra=("--batch", "2", "--data_devices", "2"))
+    ], extra=("--batch", "2", "--data_devices", "2", "--allow_cpu_devices"))
     assert [r["ok"] for r in results] == [True, True, True]
     assert results[0].get("data_devices") == 2
     assert results[1].get("data_devices") == 2
@@ -332,3 +339,10 @@ def test_serve_data_devices_validation(tmp_path):
     assert main(["--jobs", jp, "--batch", "4", "--data_devices", "3"]) == 2
     # batching off
     assert main(["--jobs", jp, "--data_devices", "2"]) == 2
+    # more devices than the accelerator offers, without the explicit
+    # --allow_cpu_devices opt-in -> fail fast, never degrade silently
+    import jax
+
+    if len(jax.devices()) < 2:
+        assert main(["--jobs", jp, "--batch", "2",
+                     "--data_devices", "2"]) == 2
