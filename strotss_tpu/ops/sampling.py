@@ -120,6 +120,17 @@ def _select_k(key: jax.Array, logits: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.where(picked_valid, idx, replacement)
 
 
+def _check_mask_hw(mask: jnp.ndarray, hw: Tuple[int, int]) -> None:
+    """A prepared mask must live at the BASE-grid resolution — a mask at
+    any other size would silently draw coordinates from the wrong index
+    domain (shapes are static, so this is a free trace-time check)."""
+    if tuple(mask.shape) != tuple(hw):
+        raise ValueError(
+            f"sampling mask has shape {tuple(mask.shape)} but the base "
+            f"grid is {tuple(hw)}; resize it first (prepare_mask)"
+        )
+
+
 def full_grid_coords(
     key: jax.Array,
     hw: Tuple[int, int],
@@ -134,6 +145,7 @@ def full_grid_coords(
     """
     h, w = hw
     if mask is not None:
+        _check_mask_hw(mask, hw)
         valid = mask.reshape(-1) > 0.5
         # grid-level allpass escape: a region that leaves NO valid pixel
         # at this scale (possible even past prepare_mask's max<0.1 hatch,
@@ -173,6 +185,7 @@ def strided_grid_coords(
     inb = (gx < h) & (gy < w)
     valid = inb
     if mask is not None:
+        _check_mask_hw(mask, hw)
         mval = mask[jnp.clip(gx, 0, h - 1), jnp.clip(gy, 0, w - 1)]
         valid = valid & (mval > 0.5)
         # grid-level allpass escape: a thin region can fall entirely

@@ -276,10 +276,19 @@ def stylize_batch(
             "cfg.shard_samples needs a mesh with a 'sample' axis — pass "
             "stylize_batch(..., mesh=make_mesh((D, S), ('data', 'sample')))"
         )
+    if mesh is not None and "data" not in mesh.axis_names:
+        raise ValueError(
+            "stylize_batch shards the pair axis over the mesh's 'data' "
+            f"axis, but the given mesh has axes {mesh.axis_names} — build "
+            "it with make_mesh((D,), ('data',)) (or ('data', 'sample'))"
+        )
     if vgg_params is None:
         vgg_params = load_vgg_params(cfg.vgg_type, cfg.use_keras_weight)
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
+    from strotss_tpu.solve import normalize_key
+
+    key = normalize_key(key)
     use_mask = content_masks is not None
     if use_mask and region_valid is None:
         region_valid = jnp.ones(content_masks.shape[:2], jnp.float32)

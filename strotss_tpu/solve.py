@@ -234,19 +234,43 @@ def _prepare_masks_j(masks, hw):
     return jax.vmap(lambda m: prepare_mask(m, hw))(masks)
 
 
-_postprocess_j = jax.jit(lambda pyr: postprocess(fold_laplacian_pyramid(pyr)))
-_fold_j = jax.jit(fold_laplacian_pyramid)
+def normalize_key(key):
+    """Accept both PRNG-key flavors at the public API boundary.
+
+    The AOT-precompiled per-scale programs are signed for the raw
+    (2,)-uint32 key layout; a new-style typed key (``jax.random.key``)
+    would reach the executable as a scalar ``key<fry>`` aval and fail the
+    call with a TypeError AFTER the full precompile cost was paid.
+    ``jax.random.key_data`` is stream-preserving for the default
+    threefry impl (legacy and typed keys share it)."""
+    import jax.dtypes
+
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
+    return key
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def _style_targets_j(spec: StepSpec, key, style_feats, style_masks=None):
-    """(n, C) unmasked or (K, n, C) with a (K, h, w) mask stack."""
+def _sample_style_targets(spec: StepSpec, k_style, style_feats,
+                          style_masks=None, shw=None):
+    """Per-scale style targets: (n, C) unmasked, or (K, n, C) masked —
+    each RAW (K, H, W, 1) region mask is prepared at the style resolution
+    ``shw`` and sampled under. Shared by ``prepare_scale``, ``run_scale``
+    and the tools' ``_style_targets_j`` so the three call sites cannot
+    drift apart."""
     if style_masks is None:
-        return sample_style(key, style_feats, spec.sample_size)
-    keys = jax.random.split(key, style_masks.shape[0])
+        return sample_style(k_style, style_feats, spec.sample_size)
+    smasks = jax.vmap(lambda m: prepare_mask(m, shw))(style_masks)
+    keys = jax.random.split(k_style, smasks.shape[0])
     return jax.vmap(
         lambda m, k: sample_style(k, style_feats, spec.sample_size, m)
-    )(style_masks, keys)
+    )(smasks, keys)
+
+
+@partial(jax.jit, static_argnames=("spec", "shw"))
+def _style_targets_j(spec: StepSpec, key, style_feats, style_masks=None,
+                     shw=None):
+    """Jitted entry for tools/ (raw masks; see _sample_style_targets)."""
+    return _sample_style_targets(spec, key, style_feats, style_masks, shw)
 
 
 @partial(
@@ -285,14 +309,9 @@ def prepare_scale(
     content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
     style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
 
-    if style_masks is not None:
-        smasks = jax.vmap(lambda m: prepare_mask(m, shw))(style_masks)
-        keys = jax.random.split(k_style, smasks.shape[0])
-        style_targets = jax.vmap(
-            lambda m, k: sample_style(k, style_feats, spec.sample_size, m)
-        )(smasks, keys)
-    else:
-        style_targets = sample_style(k_style, style_feats, spec.sample_size)
+    style_targets = _sample_style_targets(
+        spec, k_style, style_feats, style_masks, shw
+    )
 
     cmasks = None
     if content_masks is not None:
@@ -366,14 +385,9 @@ def run_scale(
     content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
     style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
 
-    if style_masks is not None:
-        smasks = jax.vmap(lambda m: prepare_mask(m, shw))(style_masks)
-        keys = jax.random.split(k_style, smasks.shape[0])
-        style_targets = jax.vmap(
-            lambda m, k: sample_style(k, style_feats, spec.sample_size, m)
-        )(smasks, keys)
-    else:
-        style_targets = sample_style(k_style, style_feats, spec.sample_size)
+    style_targets = _sample_style_targets(
+        spec, k_style, style_feats, style_masks, shw
+    )
 
     cmasks = None
     if content_masks is not None:
@@ -749,7 +763,9 @@ def precompile_scales(
         max_workers = int(os.environ.get("STROTSS_COMPILE_WORKERS", "4"))
 
     aval = lambda a: jax.ShapeDtypeStruct(  # noqa: E731
-        np.shape(a), np.asarray(a).dtype
+        # a.dtype, never np.asarray(a).dtype: masks can be device-resident
+        # and a host copy just to read the dtype is a stall hazard here
+        np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype
     )
     p_avals = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), vgg_params
@@ -832,6 +848,7 @@ def stylize_single(
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
+    key = normalize_key(key)
     # reference semantics: max_size always caps the inputs
     # (``nn/utils.py:44-57``) — apply it in the library path too, not
     # just at CLI image-load time (idempotent when already applied).
@@ -1048,9 +1065,12 @@ def stylize_single(
                 stylized = jnp.asarray(saved["stylized"])
                 img_u8 = jnp.asarray(saved["image_u8"])
             else:
+                # is_first matters here: a fresh run with max_iter=0 must
+                # still consume the seeded init (is_first=True), not the
+                # all-zero state templates
                 pyramid, opt_state, k_run, _, stylized, img_u8 = run_scale(
                     spec, 0, mode, chw, shw, cfg.pyramid_levels, vgg_params,
-                    content, style, prev, jnp.asarray(False, jnp.bool_),
+                    content, style, prev, jnp.asarray(is_first, jnp.bool_),
                     k_style,
                     pyramid, opt_state, k_run, alpha_t, lr_t,
                     content_masks, style_masks, source_tag(),

@@ -64,6 +64,12 @@ def check_masks(
             "content-region -> style-region transport pair"
         )
     if content_masks is None:
+        if region_valid is not None:
+            raise ValueError(
+                "region_valid was given without content_masks/style_masks; "
+                "it weights mask REGIONS and would be silently ignored in "
+                "an unmasked run — pass the region stacks or drop it"
+            )
         return
     rank = 5 if batched else 4
     want = "(B, K, H, W, 1)" if batched else "(K, H, W, 1)"

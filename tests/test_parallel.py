@@ -330,3 +330,23 @@ def test_shard_spatial_rejected_in_batched(rng):
                         taps=("block1_conv1",), use_pallas=False)
     with pytest.raises(ValueError, match="single-pair"):
         stylize_batch(contents, contents, cfg)
+
+
+def test_batch_mesh_requires_data_axis(rng):
+    """A mesh without a 'data' axis must fail upfront with the same
+    friendly contract error as the 'sample'/'spatial' checks — not an
+    opaque NamedSharding unbound-axis error at device_put."""
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.parallel.batch import stylize_batch
+
+    mesh = make_mesh((8,), ("sample",), devices=_cpu_devices(8))
+    cfg = StrotssConfig(
+        levels=1, max_iter=1, log_every=1, sample_size=16,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    contents = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    styles = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="'data'"):
+        stylize_batch(contents, styles, cfg,
+                      vgg_params=random_params("16", 0), mesh=mesh)

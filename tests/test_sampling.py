@@ -218,3 +218,17 @@ def test_nonempty_region_sampling_unchanged_by_fallback():
     mask = jnp.zeros((16, 16), jnp.float32).at[4:8, 4:8].set(1.0)
     coords = np.asarray(S.full_grid_coords(key, (16, 16), 32, mask=mask))
     assert (coords >= 4).all() and (coords < 8).all()
+
+
+def test_wrong_resolution_mask_rejected():
+    """A prepared 2-D mask at the wrong resolution must fail fast — it
+    would otherwise silently draw coordinates from the wrong index
+    domain (shapes are static, so the check is trace-time free)."""
+    import pytest
+
+    key = jax.random.PRNGKey(0)
+    bad = jnp.ones((8, 8), jnp.float32)
+    with pytest.raises(ValueError, match="base grid"):
+        S.full_grid_coords(key, (16, 12), 32, mask=bad)
+    with pytest.raises(ValueError, match="base grid"):
+        S.strided_grid_coords(key, (16, 12), 32, mask=bad)

@@ -227,8 +227,11 @@ def test_serve_sigterm_while_reading_drains_pending(tmp_path, rng,
     """SIGTERM while blocked reading the job stream (the idle state of a
     queue-fed deployment) interrupts the wait, runs the queued-but-
     unstarted pending jobs, and exits 0."""
-    import signal
     import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        pytest.skip("signal handlers require the main thread")
+    import signal
 
     from strotss_tpu import serve
 
@@ -276,6 +279,10 @@ def test_serve_sigterm_mid_job_finishes_job_then_exits(tmp_path, rng,
                                                        monkeypatch):
     """SIGTERM during job execution must NOT interrupt it (torn output
     files); the job finishes and emits, then the loop stops reading."""
+    import threading
+
+    if threading.current_thread() is not threading.main_thread():
+        pytest.skip("signal handlers require the main thread")
     import signal
 
     from strotss_tpu import serve

@@ -107,3 +107,45 @@ def test_stylize_masked_tiny(rng):
     )
     assert img.dtype == jnp.uint8
     assert np.isfinite(info["scales"][0]["loss"])
+
+
+def test_stylize_typed_prng_key(rng):
+    """jax.random.key (typed) and jax.random.PRNGKey (raw uint32) give the
+    identical run: the typed key is normalized at the API boundary, so the
+    AOT-precompiled programs' (2,)-uint32 key signature always matches
+    (a typed key used to TypeError at the first program call, after the
+    full precompile cost was already paid)."""
+    content = jnp.asarray(rng.random((1, 40, 48, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 44, 36, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = _tiny_cfg(max_iter=2)
+    img_raw, i_raw = stylize_single(content, style, cfg, params,
+                                    key=jax.random.PRNGKey(3))
+    img_typed, i_typed = stylize_single(content, style, cfg, params,
+                                        key=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(img_raw), np.asarray(img_typed))
+    assert i_raw["scales"][0]["loss"] == i_typed["scales"][0]["loss"]
+
+
+def test_stylize_max_iter_zero_is_seeded_init(rng):
+    """A fresh run with max_iter=0 returns the SEEDED first-scale image
+    (content high-freq + style mean), not NaN-postprocessed zero templates
+    (the fallback used to hardcode is_first=False)."""
+    from strotss_tpu.ops.image import fold_laplacian_pyramid, postprocess
+    from strotss_tpu.solve import _scale_seed, resize_max_hw
+
+    content = jnp.asarray(rng.random((1, 40, 48, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 44, 36, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = _tiny_cfg(max_iter=0)
+    img, info = stylize_single(content, style, cfg, params)
+    a = np.asarray(img)
+    assert a.dtype == np.uint8
+    assert len(np.unique(a)) > 1, "constant frame: zero templates leaked"
+    chw = resize_max_hw(40, 48, cfg.scale_sizes()[0])
+    shw = resize_max_hw(44, 36, cfg.scale_sizes()[0])
+    _, _, pyr = _scale_seed("first", chw, shw, cfg.pyramid_levels,
+                            content, style, content)
+    expect = np.asarray(postprocess(fold_laplacian_pyramid(pyr)))
+    # one program vs separate eager ops may round the odd pixel apart
+    assert np.abs(a.astype(int) - expect.astype(int)).max() <= 1

@@ -102,3 +102,12 @@ def test_shard_samples_requires_sample_axis():
         stylize_single(_img(1, 32, 32, 3), _img(1, 32, 32, 3), cfg, params)
     with pytest.raises(ValueError, match="'sample' axis"):
         stylize_batch(_img(2, 32, 32, 3), _img(2, 32, 32, 3), cfg)
+
+
+def test_region_valid_without_masks_rejected():
+    """region_valid weights mask REGIONS; without region stacks it would
+    be silently dropped by the unmasked loss path."""
+    with pytest.raises(ValueError, match="region_valid"):
+        check_masks(None, None,
+                    region_valid=np.ones((2, 3), np.float32),
+                    batched=True, batch=2)
