@@ -381,7 +381,10 @@ def sample_hypercolumn(
         if _MATMUL_PX_ENV is not None:
             matmul_px = int(_MATMUL_PX_ENV)
         else:
-            matmul_px = _MATMUL_PX[prec_name]
+            # precisions without a measured crossover (e.g. the loss
+            # ladder's experimental 'default') gate to 0: plain gathers,
+            # exactly the pre-matmul-sampling behavior
+            matmul_px = _MATMUL_PX.get(prec_name, 0)
     shapes = [(_squeeze_map(f).shape[0], _squeeze_map(f).shape[1]) for f in feats]
     factors = coordinate_factors(shapes)
     use_matmul = bilinear and max(h * w for h, w in shapes) <= matmul_px

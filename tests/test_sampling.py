@@ -232,3 +232,16 @@ def test_wrong_resolution_mask_rejected():
         S.full_grid_coords(key, (16, 12), 32, mask=bad)
     with pytest.raises(ValueError, match="base grid"):
         S.strided_grid_coords(key, (16, 12), 32, mask=bad)
+
+
+def test_unlisted_precision_gates_to_gathers():
+    """Precisions without a measured matmul crossover (the loss ladder's
+    experimental 'default') must gate to the plain-gather path instead of
+    KeyError-ing — and match the gather regime bit-for-bit."""
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.random((1, 8, 8, 3)), jnp.float32)]
+    coords = S.full_grid_coords(jax.random.PRNGKey(0), (8, 8), 16)
+    got = S.sample_hypercolumn(feats, coords, bilinear=True,
+                               matmul_prec="default")
+    want = S.sample_hypercolumn(feats, coords, bilinear=True, matmul_px=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -120,8 +120,19 @@ def main():
                 return run_chunk(spec, n, params, cf, target, None,
                                  pyr, ostate, k, alpha, lrt)
 
-            out = chunk(pyramid, opt_state, key)
-            _sync(out[0])
+            try:
+                out = chunk(pyramid, opt_state, key)
+                _sync(out[0])
+            except Exception as e:
+                # documented (docs/MXU.md): the axon backend rejects the
+                # whole-stack 'default' chunk at first execution — report
+                # the rung instead of dying so the ladder stays runnable
+                print(json.dumps({"what": f"run_chunk_{scale}px",
+                                  "precision": prec,
+                                  "backend_rejected":
+                                      f"{type(e).__name__}: {e}"[:200]}),
+                      flush=True)
+                continue
             t0 = time.perf_counter()
             reps = 4
             for _ in range(reps):
