@@ -67,6 +67,28 @@ def resize_max(x: jnp.ndarray, max_size: Optional[int]) -> jnp.ndarray:
     return resize_bilinear(x, (int(h / factor), int(w / factor)))
 
 
+def cap_max(x: jnp.ndarray, max_size: Optional[int]) -> jnp.ndarray:
+    """Downscale so the longest edge is at most ``max_size``; images already
+    within the cap pass through untouched.
+
+    Unlike :func:`resize_max` (the reference's *load-time* resize, which also
+    upscales smaller images, ``nn/utils.py:32-37``), this is the cap applied
+    at the library API boundary (``stylize``/``stylize_batch``), where the
+    input may already have been resized at load time. ``resize_max`` is NOT
+    idempotent — its truncating arithmetic can map its own output to a
+    shape one pixel different (e.g. 310x155 @ 300 → 299x149 → 300x149),
+    silently resampling an already-capped image a second time and drifting
+    from the reference's single-resize shape; the ``<=`` check here makes
+    re-application a guaranteed no-op.
+    """
+    if max_size is None:
+        return x
+    h, w = _hw(x)
+    if max(h, w) <= max_size:
+        return x
+    return resize_max(x, max_size)
+
+
 def resize_like(x: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
     """Resize ``x`` to the spatial dims of ``base`` (``nn/utils.py:40-41``)."""
     return resize_bilinear(x, _hw(base))

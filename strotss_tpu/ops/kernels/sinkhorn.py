@@ -165,18 +165,6 @@ def lse_pass(
     return jnp.log(jnp.maximum(runsum[0, :n], 1e-38)) + runmax[0, :n]
 
 
-def _block_map(f, xs, block: int):
-    """lax.map over row blocks of ``xs`` (first axis padded to a multiple)."""
-    n = xs.shape[0]
-    nb = -(-n // block)
-    pad = nb * block - n
-    xsp = jnp.pad(xs, ((0, pad),) + ((0, 0),) * (xs.ndim - 1))
-    idx = jnp.arange(nb) * block
-    out = jax.lax.map(lambda i: f(jax.lax.dynamic_slice_in_dim(xsp, i, block)),
-                      idx)
-    return out, pad
-
-
 def _transport_readout(x, y, log_u, log_v, lam, distance, block=512,
                        freeze_plan=False):
     """``sum_ij exp(log_u_i - lam*d_ij + log_v_j) * d_ij`` in row blocks.

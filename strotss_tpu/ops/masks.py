@@ -48,6 +48,32 @@ def partition_masks(
     return jnp.asarray(np.stack(c_ret)), jnp.asarray(np.stack(s_ret))
 
 
+def _load_quantized(path: str, max_size: Optional[int],
+                    pixel_threth: int) -> np.ndarray:
+    """Load one mask image, resized and quantized with reference semantics.
+
+    The reference's ``load_image(dtype=uint8, max_size)`` goes through
+    ``tf.image.resize``, which returns FLOAT values for uint8 input
+    (``nn/utils.py:44-57``), and ``load_mask`` floor-quantizes those floats
+    (``// 255 * 255``, ``nn/strotss_utils.py:180-183``) — so an interpolated
+    boundary pixel of e.g. 254.7 maps to 0, NOT 255. Rounding the resized
+    float back to uint8 first (the old path here) admitted every >= 254.5
+    pixel into the 255 region, silently shifting region membership (and the
+    10000-px area counts) at anti-aliased mask edges. So: resize in float,
+    floor-quantize the float, and only then cast (the quantized values are
+    exact multiples of ``pixel_threth`` <= 255, so the cast is lossless).
+    """
+    raw = np.asarray(
+        load_image(path, None, dtype=jnp.uint8, batch_expand=False)
+    )
+    if max_size is None:
+        return raw
+    from strotss_tpu.ops.image import resize_max
+
+    f = np.asarray(resize_max(jnp.asarray(raw, jnp.float32), max_size))
+    return (np.floor_divide(f, pixel_threth) * pixel_threth).astype(np.uint8)
+
+
 def load_mask(
     content_path: str,
     style_path: str,
@@ -56,6 +82,6 @@ def load_mask(
     sample_threth: int = 10000,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Load + quantize + partition a content/style mask image pair."""
-    c = np.asarray(load_image(content_path, max_size, dtype=jnp.uint8, batch_expand=False))
-    s = np.asarray(load_image(style_path, max_size, dtype=jnp.uint8, batch_expand=False))
+    c = _load_quantized(content_path, max_size, pixel_threth)
+    s = _load_quantized(style_path, max_size, pixel_threth)
     return partition_masks(c, s, pixel_threth, sample_threth)

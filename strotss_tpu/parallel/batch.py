@@ -299,10 +299,12 @@ def stylize_batch(
         jnp.arange(contents.shape[0])
     )
 
-    from strotss_tpu.ops.image import resize_max
+    from strotss_tpu.ops.image import cap_max
 
-    contents = resize_max(contents, cfg.max_size)
-    styles = resize_max(styles, cfg.max_size)
+    # cap, don't resize_max: serve/CLI inputs were already resized at load
+    # time and resize_max is not idempotent (see ops/image.cap_max)
+    contents = cap_max(contents, cfg.max_size)
+    styles = cap_max(styles, cfg.max_size)
 
     def shard(x, pspec=P("data")):
         if mesh is None or x is None:

@@ -425,6 +425,28 @@ class _LineReader:
                 if should_stop():
                     return None
 
+    def grace_line(self, timeout: float = 0.5) -> Optional[str]:
+        """Final chance for a read left outstanding by a drain.
+
+        When ``readline`` returned None, the reader thread may *already*
+        have consumed a line from the stream (it was blocked in
+        ``stream.readline()`` when the drain flag flipped, and a producer
+        could land a line in that window) — exiting without this check
+        would silently drop a consumed job, violating the one-result-per-
+        consumed-line guarantee. Strictly pull-based reads mean at most ONE
+        line can be in that state, so a single bounded wait covers it.
+        Returns the line, or None if nothing was consumed within
+        ``timeout`` (the reader is still blocked mid-``readline`` — nothing
+        complete was taken off the stream)."""
+        if not self._outstanding:
+            return None
+        try:
+            line = self._lines.get(timeout=timeout)
+            self._outstanding = False
+            return line or None  # "" = EOF, nothing to recover
+        except self._empty:
+            return None
+
 
 def _job_lines(path: str, should_stop=lambda: False):
     """Yield job lines; ends at EOF or when ``should_stop()`` turns true
@@ -434,7 +456,17 @@ def _job_lines(path: str, should_stop=lambda: False):
     try:
         while True:
             line = reader.readline(should_stop)
-            if not line:  # EOF ("") or drain (None)
+            if line is None:  # drain requested while a read was pending —
+                # the reader may have consumed a line in the window between
+                # the drain flag flipping and this poll observing it;
+                # recover it so a consumed job still gets its result line
+                line = reader.grace_line()
+                if line:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        yield line
+                break
+            if not line:  # "" = EOF
                 break
             line = line.strip()
             if line and not line.startswith("#"):

@@ -37,12 +37,12 @@ import optax
 from strotss_tpu.config import StrotssConfig
 from strotss_tpu.models.vgg import STROTSS_DEFAULT_TAPS, vgg_apply
 from strotss_tpu.ops.image import (
+    cap_max,
     fold_laplacian_pyramid,
     make_laplacian,
     make_laplacian_pyramid,
     postprocess,
     resize_bilinear,
-    resize_max,
 )
 from strotss_tpu.ops.losses import content_loss, style_loss
 from strotss_tpu.ops.sampling import (
@@ -406,6 +406,26 @@ def run_scale(
         lambda f, o: jnp.where(is_first, f, o), fresh_opt, opt_state
     )
 
+    (pyramid, opt_state, key), metrics = _optimization_scan(
+        spec, n_steps, vgg_params, content_feats, style_targets, cmasks,
+        alpha, lr, pyramid, opt_state, key, mesh, style_moments,
+    )
+    if src_tag is not None:
+        # exact zero; exists so the source-hash-shaped arg is live (see
+        # source_tag) — jit would otherwise prune it from the executable
+        metrics = metrics + 0.0 * jnp.sum(src_tag)
+    img = fold_laplacian_pyramid(pyramid)
+    return pyramid, opt_state, key, metrics, img, postprocess(img)
+
+
+def _optimization_scan(spec, n_steps, vgg_params, content_feats,
+                       style_targets, content_masks, alpha, lr,
+                       pyramid, opt_state, key, mesh, style_moments):
+    """The shared hot loop: ``n_steps`` of sample → VGG fwd → losses →
+    grad → RMSprop, as one ``lax.scan``. Both per-scale programs
+    (:func:`run_scale`, :func:`run_chunk`) wrap exactly this body, so loss
+    or sharding changes cannot drift between them. Returns
+    ``((pyramid, opt_state, key), (n_steps, 3) metrics)``."""
     opt = make_optimizer(lr)
 
     def loss_fn(pyr, k):
@@ -414,8 +434,8 @@ def run_scale(
             img = _shard_spatial_constraint(img, mesh)
         pred = extract_hypercolumn(spec, vgg_params, img)
         return _step_losses(
-            spec, content_feats, pred, style_targets, cmasks, alpha, k,
-            mesh=mesh, style_moments=style_moments,
+            spec, content_feats, pred, style_targets, content_masks,
+            alpha, k, mesh=mesh, style_moments=style_moments,
         )
 
     def step(carry, _):
@@ -428,15 +448,9 @@ def run_scale(
         pyr = optax.apply_updates(pyr, updates)
         return (pyr, ostate, k), jnp.stack([loss, lc, ls])
 
-    (pyramid, opt_state, key), metrics = jax.lax.scan(
+    return jax.lax.scan(
         step, (pyramid, opt_state, key), None, length=n_steps
     )
-    if src_tag is not None:
-        # exact zero; exists so the source-hash-shaped arg is live (see
-        # source_tag) — jit would otherwise prune it from the executable
-        metrics = metrics + 0.0 * jnp.sum(src_tag)
-    img = fold_laplacian_pyramid(pyramid)
-    return pyramid, opt_state, key, metrics, img, postprocess(img)
 
 
 def scale_state_templates(chw, pyramid_levels: int, lr: float):
@@ -606,33 +620,13 @@ def run_chunk(
     its uint8 postprocess — so scale handoff and snapshotting need no extra
     compiled programs.
     """
-    opt = make_optimizer(lr)
     style_moments = style_target_moments(
         spec, style_targets, masked=content_masks is not None
     )
-
-    def loss_fn(pyr, k):
-        img = fold_laplacian_pyramid(pyr)
-        if spec.shard_spatial:
-            img = _shard_spatial_constraint(img, mesh)
-        pred = extract_hypercolumn(spec, vgg_params, img)
-        return _step_losses(
-            spec, content_feats, pred, style_targets, content_masks, alpha, k,
-            mesh=mesh, style_moments=style_moments,
-        )
-
-    def step(carry, _):
-        pyr, ostate, k = carry
-        k, k_step = jax.random.split(k)
-        (loss, (lc, ls)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(pyr, k_step)
-        updates, ostate = opt.update(grads, ostate)
-        pyr = optax.apply_updates(pyr, updates)
-        return (pyr, ostate, k), jnp.stack([loss, lc, ls])
-
-    (pyramid, opt_state, key), metrics = jax.lax.scan(
-        step, (pyramid, opt_state, key), None, length=n_steps
+    (pyramid, opt_state, key), metrics = _optimization_scan(
+        spec, n_steps, vgg_params, content_feats, style_targets,
+        content_masks, alpha, lr, pyramid, opt_state, key, mesh,
+        style_moments,
     )
     if src_tag is not None:
         metrics = metrics + 0.0 * jnp.sum(src_tag)  # see source_tag
@@ -849,13 +843,34 @@ def stylize_single(
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     key = normalize_key(key)
-    # reference semantics: max_size always caps the inputs
-    # (``nn/utils.py:44-57``) — apply it in the library path too, not
-    # just at CLI image-load time (idempotent when already applied).
-    content = resize_max(content, cfg.max_size)
-    style = resize_max(style, cfg.max_size)
+    # cap (not resize_max) at the library boundary: CLI/serve inputs were
+    # already resized at load time, and resize_max is not idempotent — a
+    # second application can shift the shape by one pixel and resample the
+    # image again (see ops/image.cap_max). Raw library inputs larger than
+    # the cap are downscaled exactly like the reference's load-time resize.
+    content = cap_max(content, cfg.max_size)
+    style = cap_max(style, cfg.max_size)
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
+
+    if snapshot_cb is not None and cfg.save_every > 0 and cfg.max_iter > 0:
+        # snapshots can only fire at chunk boundaries (the image exists
+        # only between compiled chunks) — pick the coarsest chunk size at
+        # which every save_every multiple IS a boundary. gcd keeps chunk
+        # sizes uniform (one compiled program size per scale, plus at most
+        # a remainder), so e.g. save_every=50 under the default
+        # log_every=200 runs 4 x 50-step chunks instead of silently
+        # snapshotting once at step 200.
+        import math
+
+        cadence = math.gcd(
+            max(1, min(cfg.log_every, cfg.max_iter)),
+            min(cfg.save_every, cfg.max_iter),
+        )
+        if cadence != cfg.log_every:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, log_every=cadence)
 
     if spec.shard_spatial and (
         mesh is None or "spatial" not in mesh.axis_names

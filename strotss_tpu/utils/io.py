@@ -41,9 +41,10 @@ def load_image(
         img = img.astype(dtype) / 255.0
         img = resize_max(img, max_size)
     else:
-        # uint8 path (mask loading) keeps raw pixel values; the reference
-        # resizes uint8 masks too (tf.image.resize on uint8 returns float) —
-        # we resize in float and round back.
+        # uint8 path keeps raw pixel values. NOTE: the resized-uint8
+        # branch ROUNDS interpolated values back to integers; mask loading
+        # must NOT use it — the reference quantizes the raw float resize
+        # output (``ops/masks._load_quantized`` carries those semantics).
         if max_size is not None:
             f = img.astype(jnp.float32)
             f = resize_max(f, max_size)

@@ -28,6 +28,30 @@ def test_resize_max_arithmetic():
     assert I.resize_max(img, None) is img
 
 
+def test_cap_max_is_idempotent_where_resize_max_is_not():
+    """The library-boundary cap must be a no-op on already-capped inputs.
+
+    resize_max's truncating arithmetic is NOT idempotent for non-pow2
+    max_size: 31x16 @ 30 -> 29x15, and re-applying resize_max maps 29x15
+    -> 30x15 — a second resample that drifts from the reference's
+    single load-time resize. cap_max exists so stylize/stylize_batch
+    leave loader output untouched."""
+    img = jnp.zeros((1, 31, 16, 3), jnp.float32)
+    once = I.resize_max(img, 30)
+    assert once.shape == (1, 29, 15, 3)
+    twice = I.resize_max(once, 30)
+    assert twice.shape == (1, 30, 15, 3)  # the double-resample trap
+    assert I.cap_max(once, 30) is once  # already capped: untouched
+    # oversized input: cap == the reference load-time resize, exactly
+    capped = I.cap_max(img, 30)
+    assert capped.shape == once.shape
+    np.testing.assert_array_equal(np.asarray(capped), np.asarray(once))
+    # smaller-than-cap input: caps only, never upscales
+    small = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    assert I.cap_max(small, 30) is small
+    assert I.cap_max(small, None) is small
+
+
 def test_pyramid_matches_tf(golden):
     g = golden("pyramid")
     im = jnp.asarray(g["im"])

@@ -53,3 +53,29 @@ def test_quantization():
     c2 = np.full((200, 200, 3), 255, np.uint8)
     cm, sm = partition_masks(c, c)  # (0,0,0) region everywhere
     assert cm.shape[0] == 1 and np.asarray(cm).sum() == 200 * 200
+
+
+def test_load_mask_max_size_floor_quantizes_like_reference(tmp_path):
+    """Resized masks quantize the FLOAT resize output with ``// 255``
+    (reference ``load_mask``: tf.image.resize on uint8 returns float,
+    ``nn/strotss_utils.py:180-183``) — a boundary pixel interpolating to
+    254.75 belongs to region 0, NOT 255. Rounding back to uint8 first
+    (the old path) would put it in the 255 region (np.round(254.75)=255)
+    and here would merge the whole mask into one region."""
+    from PIL import Image
+
+    from strotss_tpu.ops.masks import load_mask
+
+    # 6x6, all 255 except column 1 = 254. Resized to 4x4 (factor 1.5),
+    # output cols 0 and 1 interpolate to exactly 254.75 (weights .75/.25
+    # at in-coords 0.25 and 1.75), cols 2-3 stay exactly 255.
+    img = np.full((6, 6, 3), 255, np.uint8)
+    img[:, 1] = 254
+    p = tmp_path / "m.png"
+    Image.fromarray(img).save(p)
+
+    cm, sm = load_mask(str(p), str(p), max_size=4, sample_threth=1)
+    assert cm.shape == (2, 4, 4, 1) and sm.shape == (2, 4, 4, 1)
+    counts = sorted(np.asarray(cm).sum(axis=(1, 2, 3)).tolist())
+    # region (0,0,0): interpolated cols 0-1; region (255,)*3: cols 2-3
+    assert counts == [8.0, 8.0]

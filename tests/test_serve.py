@@ -353,3 +353,74 @@ def test_serve_data_devices_validation(tmp_path):
     if len(jax.devices()) < 2:
         assert main(["--jobs", jp, "--batch", "2",
                      "--data_devices", "2"]) == 2
+
+
+def test_line_reader_grace_recovers_consumed_line():
+    """A line the reader thread consumes from the stream right as the
+    drain flag flips must not be dropped: readline() has already returned
+    None, so _job_lines does one bounded grace read to recover it."""
+    import threading
+
+    from strotss_tpu.serve import _LineReader
+
+    class SlowStream:
+        def __init__(self):
+            self.ev = threading.Event()
+            self.calls = 0
+
+        def readline(self):
+            self.calls += 1
+            if self.calls == 1:
+                self.ev.wait()
+                return '{"content": "c"}\n'
+            return ""
+
+    s = SlowStream()
+    r = _LineReader(s)
+    # drain observed while the read is outstanding (reader blocked)
+    assert r.readline(lambda: True) is None
+    # no line consumed yet: grace finds nothing within its timeout
+    assert r.grace_line(timeout=0.05) is None
+    # the producer lands a line — the reader consumes it from the stream
+    s.ev.set()
+    assert r.grace_line(timeout=5.0) == '{"content": "c"}\n'
+
+
+def test_line_reader_grace_without_outstanding_read():
+    import io as _io
+
+    from strotss_tpu.serve import _LineReader
+
+    r = _LineReader(_io.StringIO("a\n"))
+    assert r.readline(lambda: False) == "a\n"
+    # request satisfied: nothing outstanding, grace is a no-op
+    assert r.grace_line(timeout=0.05) is None
+
+
+def test_job_lines_drain_recovers_consumed_line(monkeypatch):
+    """_job_lines under an immediate drain still yields a job line that
+    the reader consumed during the drain window."""
+    import threading
+
+    from strotss_tpu.serve import _job_lines
+
+    class SlowStream:
+        def __init__(self):
+            self.ev = threading.Event()
+            self.calls = 0
+
+        def readline(self):
+            self.calls += 1
+            if self.calls == 1:
+                self.ev.wait()
+                return '{"x": 1}\n'
+            return ""
+
+    s = SlowStream()
+    monkeypatch.setattr("sys.stdin", s)
+    # release the line shortly after the drain poll starts waiting; even
+    # if the timer beats the first poll, the line arrives normally —
+    # either way it must come out of the generator exactly once
+    threading.Timer(0.3, s.ev.set).start()
+    lines = list(_job_lines("-", should_stop=lambda: True))
+    assert lines == ['{"x": 1}']

@@ -148,3 +148,39 @@ def test_scale_signatures_resume_aware():
     assert not [sig for sig in res0 if sig[0] == 1]
     assert [sig for sig in res0 if sig[0] == 2] == \
         [sig for sig in full if sig[0] == 2]
+
+
+def test_snapshot_cadence_survives_coarse_log_every(rng):
+    """save_every that doesn't match log_every still fires at every
+    multiple: the solver re-chunks at gcd(log_every, save_every) when a
+    snapshot consumer exists (with the default log_every=200, save_every=50
+    used to fire exactly once, at step 200)."""
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=1, max_iter=6, log_every=6, save_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    calls = []
+    stylize_single(content, style, cfg, params,
+                   snapshot_cb=lambda scl, it, img: calls.append((scl, it)))
+    assert calls == [(64, 2), (64, 4), (64, 6)]
+
+
+def test_no_snapshot_cb_keeps_chunking(rng):
+    """Without a snapshot consumer the save_every knob must NOT change the
+    compiled chunk sizes (one chunk per scale stays one program)."""
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=1, max_iter=4, log_every=4, save_every=3, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    steps = []
+    _, info = stylize_single(
+        content, style, cfg, params,
+        progress_cb=lambda scl, it, tot, m: steps.append(it))
+    assert steps == [1, 2, 3, 4]
+    assert info["scales"][0]["curve"].shape == (4, 3)
