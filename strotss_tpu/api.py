@@ -23,6 +23,7 @@ def stylize(
     progress_cb=None,
     snapshot_cb=None,
     mesh=None,
+    init_image: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Stylize ``content`` with ``style`` (both (1,H,W,3) float in [0,1]).
 
@@ -32,11 +33,18 @@ def stylize(
     the transport losses under ``cfg.shard_samples``; a 'spatial' axis
     partitions the conv stack of a single high-res stylization under
     ``cfg.shard_spatial`` (the two compose on a 2-D mesh).
+    ``init_image``: optional (1,H,W,3) float [0,1] warm start — the first
+    scale seeds from it instead of the cold content+style-mean seed (any
+    resolution; it is resized to the content's). Feed a finished result
+    back in to refine it, or the previous frame's output for
+    frame-coherent video stylization.
     """
     from strotss_tpu.validation import check_image, check_masks
 
     check_image("content", content)
     check_image("style", style)
+    if init_image is not None:
+        check_image("init_image", init_image)
     check_masks(content_masks, style_masks)
     cfg = cfg or StrotssConfig()
     if vgg_params is None:
@@ -52,4 +60,5 @@ def stylize(
         progress_cb=progress_cb,
         snapshot_cb=snapshot_cb,
         mesh=mesh,
+        init_image=init_image,
     )

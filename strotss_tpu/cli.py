@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--taps", type=str, default=None,
                         help="comma-separated VGG tap layers "
                              "(default: the 9 STROTSS taps)")
+    parser.add_argument("--init", type=str, default=None,
+                        help="warm-start image: the first scale seeds from "
+                             "it (resized) instead of the cold content+"
+                             "style-mean seed — refine a previous output, "
+                             "or chain video frames for coherence")
     return parser
 
 
@@ -158,6 +163,10 @@ def main(argv=None) -> int:
 
     content = load_image(args.content_path, max_size=args.max_size)
     style = load_image(args.style_path, max_size=args.max_size)
+    init_image = None
+    if args.init:
+        init_image = load_image(args.init, max_size=args.max_size)
+        logger.info(f"Warm-starting from {args.init}.")
 
     content_masks = style_masks = None
     if args.content_mask and args.style_mask:
@@ -217,6 +226,7 @@ def main(argv=None) -> int:
         style_masks=style_masks,
         progress_cb=progress,
         snapshot_cb=snapshot,
+        init_image=init_image,
     )
 
     if cfg.profile_dir:

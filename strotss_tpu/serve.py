@@ -17,7 +17,10 @@ Job stream: JSON Lines — one job per line — from a file, or from stdin
     {"content": "c.jpg", "style": "s.jpg", "output": "out.jpg"}
 
 Optional per-job fields: ``content_mask``/``style_mask`` (paths, both
-or neither), ``alpha``, ``seed``. Shared knobs (resolution schedule,
+or neither), ``alpha``, ``seed``, ``init`` (a warm-start image path —
+the first scale seeds from it; chain each video frame's job with
+``"init": <previous frame's output>`` for frame-coherent stylization).
+Shared knobs (resolution schedule,
 dtype, iterations, ...) come from the CLI flags. One result line per
 job streams to ``--results`` (default stdout) as soon as it finishes:
 
@@ -164,7 +167,10 @@ def _load_job_inputs(args, job: Dict):
     if has_c:
         cmask, smask = load_mask(job["content_mask"], job["style_mask"],
                                  max_size=args.max_size)
-    return content, style, cmask, smask
+    init = None
+    if "init" in job:
+        init = load_image(job["init"], max_size=args.max_size)
+    return content, style, cmask, smask, init
 
 
 def _final_loss(info: Dict) -> Optional[float]:
@@ -178,11 +184,11 @@ def _run_single(args, job: Dict, vgg_params) -> Dict:
     from strotss_tpu.api import stylize
     from strotss_tpu.utils.io import write_image
 
-    content, style, cmask, smask = _load_job_inputs(args, job)
+    content, style, cmask, smask, init = _load_job_inputs(args, job)
     t0 = time.perf_counter()
     img, info = stylize(content, style, _config(args, job),
                         content_masks=cmask, style_masks=smask,
-                        vgg_params=vgg_params)
+                        vgg_params=vgg_params, init_image=init)
     write_image(img, job["output"])
     out = {"output": job["output"], "ok": True,
            "seconds": round(time.perf_counter() - t0, 3)}
@@ -193,9 +199,10 @@ def _run_single(args, job: Dict, vgg_params) -> Dict:
 
 
 def _batchable(job: Dict) -> bool:
-    # batched pairs share one config; per-job overrides and masks opt out
+    # batched pairs share one config; per-job overrides, masks, and warm
+    # starts (video chains are inherently sequential) opt out
     return not any(k in job for k in
-                   ("content_mask", "style_mask", "alpha", "seed"))
+                   ("content_mask", "style_mask", "alpha", "seed", "init"))
 
 
 def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
@@ -206,7 +213,7 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
 
     contents, styles = [], []
     for job in jobs:
-        c, s, _, _ = _load_job_inputs(args, job)
+        c, s, _, _, _ = _load_job_inputs(args, job)
         contents.append(c)
         styles.append(s)
     # NamedSharding needs the pair axis divisible by the mesh's data axis;

@@ -653,6 +653,7 @@ def _scale_signatures(
     style_shape,
     resume_scale: int = 0,
     resume_done: int = 0,
+    warm_start: bool = False,
 ):
     """The run_scale signatures the solver loop will call, one per
     (scale, chunk) — resume-aware, so a resumed run precompiles exactly the
@@ -670,6 +671,12 @@ def _scale_signatures(
         chw = resize_max_hw(content_shape[1], content_shape[2], scl)
         shw = resize_max_hw(style_shape[1], style_shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
+        if i == 0 and warm_start:
+            # warm start: scale 0 seeds from the init image via the "mid"
+            # rule (resize(init) + content Laplacian) instead of the cold
+            # style-mean seed — same program signature as "mid" scales,
+            # just at the coarse resolution (stylize_single's init_image)
+            mode = "mid"
         if i >= resume_scale:
             steps = cfg.max_iter - (resume_done if i == resume_scale else 0)
             for n in dict.fromkeys(chunk_plan(steps, cfg.log_every)):
@@ -733,6 +740,7 @@ def precompile_scales(
     max_workers: Optional[int] = None,
     resume_scale: int = 0,
     resume_done: int = 0,
+    warm_start: bool = False,
 ) -> PrecompiledPrograms:
     """AOT-compile every per-scale program, overlapping the slow compiles.
 
@@ -791,7 +799,8 @@ def precompile_scales(
     ex = ThreadPoolExecutor(max_workers=max_workers)
     futs = {}
     for i, n, mode, chw, shw, prev_shape in _scale_signatures(
-        cfg, content_shape, style_shape, resume_scale, resume_done
+        cfg, content_shape, style_shape, resume_scale, resume_done,
+        warm_start,
     ):
         pyr, opt = scale_state_templates(chw, cfg.pyramid_levels, cfg.lr)
         args = (
@@ -826,6 +835,7 @@ def stylize_single(
     progress_cb: Optional[Callable[[int, int, int, Dict[str, float]], None]] = None,
     snapshot_cb: Optional[Callable[[int, int, jnp.ndarray], None]] = None,
     mesh=None,
+    init_image: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full coarse-to-fine stylization of one (content, style) pair.
 
@@ -839,6 +849,15 @@ def stylize_single(
     transport losses are partitioned over that axis (see _step_losses);
     with ``cfg.shard_spatial`` and a 'spatial' axis, the conv stack is
     spatially partitioned across chips (see _shard_spatial_constraint).
+
+    ``init_image``: optional (1,H,W,3) float [0,1] warm start. The first
+    scale then seeds from ``resize(init) + content Laplacian`` (the same
+    "mid" rule every later scale uses for its predecessor,
+    ``run_strotss.py:80-84``) instead of the reference's cold seed of
+    ``content Laplacian + mean style color`` (``run_strotss.py:76-79``).
+    Use cases: refining a finished stylization with more steps, and
+    frame-to-frame coherent video stylization (init frame t with frame
+    t-1's output). TPU-native extension — the reference has no analogue.
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -850,6 +869,15 @@ def stylize_single(
     # the cap are downscaled exactly like the reference's load-time resize.
     content = cap_max(content, cfg.max_size)
     style = cap_max(style, cfg.max_size)
+    warm = init_image is not None
+    if warm:
+        # match the content's full-res shape exactly: the init then flows
+        # through the existing "mid"-mode program as scale 0's ``prev``
+        # (same aval as the cold path's content), so warm starts add one
+        # program variant (mode) per shape bucket, not a new shape family
+        init_image = resize_bilinear(
+            init_image, (content.shape[1], content.shape[2])
+        )
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
 
@@ -902,6 +930,8 @@ def stylize_single(
         content, style, vgg_params = put(content), put(style), put(vgg_params)
         if use_mask:
             content_masks, style_masks = put(content_masks), put(style_masks)
+        if warm:
+            init_image = put(init_image)
 
     from strotss_tpu.utils import checkpoint as ckpt
 
@@ -917,6 +947,12 @@ def stylize_single(
         "style_shape": list(style.shape),
         "n_regions": int(content_masks.shape[0]) if use_mask else 0,
     }
+    if warm:
+        # only present for warm-start runs: cold-run fingerprints stay
+        # byte-identical to pre-feature checkpoints. A cold checkpoint
+        # resumed under a different scale-0 seed would silently continue
+        # the wrong trajectory — the fingerprint check makes it an error.
+        fingerprint["warm_start"] = True
     resume = ckpt.load_meta(cfg.checkpoint_dir)
     if resume is not None:
         ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
@@ -943,10 +979,12 @@ def stylize_single(
             resume_done=(
                 min(resume["done_steps"], cfg.max_iter) if resume else 0
             ),
+            warm_start=warm,
         )
 
     alpha = cfg.initial_alpha()
-    stylized = None
+    # warm start: the init image plays scale 0's "previous stylization"
+    stylized = init_image if warm else None
     final_u8 = None
     info: Dict = {"scales": []}
     t_total = time.perf_counter()
@@ -966,6 +1004,8 @@ def stylize_single(
         chw = resize_max_hw(content.shape[1], content.shape[2], scl)
         shw = resize_max_hw(style.shape[1], style.shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
+        if i == 0 and warm:
+            mode = "mid"  # seed from init_image (see _scale_signatures)
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
         lr_t = jnp.asarray(lr, jnp.float32)
         prev = stylized if stylized is not None else content

@@ -424,3 +424,34 @@ def test_job_lines_drain_recovers_consumed_line(monkeypatch):
     threading.Timer(0.3, s.ev.set).start()
     lines = list(_job_lines("-", should_stop=lambda: True))
     assert lines == ['{"x": 1}']
+
+
+@pytest.mark.slow
+def test_serve_warm_start_chain(tmp_path, rng):
+    """A job with "init" warm-starts from a previous job's output (the
+    video-chain pattern) and opts out of batching — while cold jobs
+    around it stay deterministic."""
+    cp, sp = _write_inputs(tmp_path, rng)
+    o1, o2, o3 = (str(tmp_path / f"w{i}.jpg") for i in range(3))
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": o1},
+        {"content": cp, "style": sp, "output": o2, "init": o1},
+        {"content": cp, "style": sp, "output": o3},
+    ], extra=("--batch", "2"))
+    assert [r["ok"] for r in results] == [True, True, True]
+    assert all("batched" not in r for r in results)  # groups never filled
+    from PIL import Image
+
+    a, b, c = (np.asarray(Image.open(o)).astype(int) for o in (o1, o2, o3))
+    # same cold job twice -> bit-identical (serving is deterministic)
+    np.testing.assert_array_equal(a, c)
+    # the warm start is live: same pair + seed, different seed image
+    assert np.abs(a - b).max() > 0
+
+
+def test_init_jobs_are_not_batchable():
+    from strotss_tpu.serve import _batchable
+
+    assert _batchable({"content": "c", "style": "s", "output": "o"})
+    assert not _batchable({"content": "c", "style": "s", "output": "o",
+                           "init": "prev.jpg"})

@@ -184,3 +184,55 @@ def test_no_snapshot_cb_keeps_chunking(rng):
         progress_cb=lambda scl, it, tot, m: steps.append(it))
     assert steps == [1, 2, 3, 4]
     assert info["scales"][0]["curve"].shape == (4, 3)
+
+
+def test_warm_start_signatures():
+    """warm_start flips ONLY scale 0's mode to "mid" (seed from the init
+    image); every other signature — shapes, chunk sizes, prev shapes —
+    is unchanged, so warm starts add one program variant per shape
+    bucket, not a new shape family."""
+    from strotss_tpu.solve import _scale_signatures
+
+    cfg = StrotssConfig(levels=2, max_iter=4, log_every=4)
+    cshape, sshape = (1, 64, 64, 3), (1, 48, 64, 3)
+    cold = _scale_signatures(cfg, cshape, sshape)
+    warm = _scale_signatures(cfg, cshape, sshape, warm_start=True)
+    assert cold[0][2] == "first" and warm[0][2] == "mid"
+    assert warm[0][:2] == cold[0][:2] and warm[0][3:] == cold[0][3:]
+    assert warm[1:] == cold[1:]
+    # scale 0's prev (= the resized init image) is full-res content shape
+    assert warm[0][5] == cshape
+
+
+def test_warm_start_init_image(rng):
+    """init_image warm start: the first scale seeds from the init (the
+    "mid" rule) instead of the cold content+style-mean seed — the result
+    must differ from the cold run; and an init at any resolution gives
+    the bit-exact same run as one pre-resized to the content's shape
+    (the internal resize is the only preprocessing)."""
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=1, max_iter=2, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    img_cold, _ = stylize_single(content, style, cfg, params)
+
+    init_small = jnp.asarray(rng.random((1, 24, 20, 3)), jnp.float32)
+    img_warm, info = stylize_single(
+        content, style, cfg, params, init_image=init_small
+    )
+    assert img_warm.shape == img_cold.shape
+    assert np.isfinite(info["scales"][0]["loss"])
+    assert np.abs(
+        np.asarray(img_warm, int) - np.asarray(img_cold, int)
+    ).max() > 0
+
+    from strotss_tpu.ops.image import resize_bilinear
+
+    init_pre = resize_bilinear(init_small, (40, 40))
+    img_warm2, _ = stylize_single(
+        content, style, cfg, params, init_image=init_pre
+    )
+    np.testing.assert_array_equal(np.asarray(img_warm), np.asarray(img_warm2))

@@ -111,3 +111,14 @@ def test_region_valid_without_masks_rejected():
         check_masks(None, None,
                     region_valid=np.ones((2, 3), np.float32),
                     batched=True, batch=2)
+
+
+def test_init_image_validated_at_api_boundary():
+    """A mis-shaped warm-start image fails fast with the layout spelled
+    out, before any weight loading or trace."""
+    with pytest.raises(ValueError, match="init_image.*pass init_image"):
+        stylize(_img(1, 40, 40, 3), _img(1, 40, 40, 3),
+                init_image=_img(40, 40, 3))
+    with pytest.raises(ValueError, match="init_image"):
+        stylize(_img(1, 40, 40, 3), _img(1, 40, 40, 3),
+                init_image=_img(1, 40, 40, 3, dtype=jnp.uint8))
