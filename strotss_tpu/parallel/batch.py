@@ -236,6 +236,7 @@ def stylize_batch(
     region_valid: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
     progress_cb=None,
+    init_images: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Coarse-to-fine stylization of B pairs at once.
 
@@ -245,7 +246,11 @@ def stylize_batch(
     (B, K) marks real regions (defaults to all-valid). With ``mesh``, the
     pair axis is sharded over the mesh's ``data`` axis (and, under
     ``cfg.shard_samples``, transport losses over its ``sample`` axis).
-    Returns ((B, H', W', 3) uint8, info).
+    ``init_images``: optional (B, H, W, 3) warm starts — pair ``b``'s first
+    scale seeds from ``init_images[b]`` exactly like
+    ``stylize(init_image=...)`` (B parallel video streams advance one
+    frame per batch at batched throughput). Returns ((B,H',W',3) uint8,
+    info).
 
     **Equivalence contract**: pair ``b``'s optimization trajectory equals a
     ``stylize_single`` run with ``key=jax.random.fold_in(key, b)`` to float
@@ -261,6 +266,13 @@ def stylize_batch(
             f"contents and styles must have the same batch dim, got "
             f"{contents.shape[0]} vs {styles.shape[0]}"
         )
+    if init_images is not None:
+        check_image("init_images", init_images, batched=True)
+        if init_images.shape[0] != contents.shape[0]:
+            raise ValueError(
+                f"init_images batch dim {init_images.shape[0]} does not "
+                f"match the pair batch {contents.shape[0]}"
+            )
     check_masks(content_masks, style_masks, region_valid, batched=True,
                 batch=contents.shape[0])
     cfg = cfg or StrotssConfig()
@@ -299,12 +311,20 @@ def stylize_batch(
         jnp.arange(contents.shape[0])
     )
 
-    from strotss_tpu.ops.image import cap_max
+    from strotss_tpu.ops.image import cap_max, resize_bilinear
 
     # cap, don't resize_max: serve/CLI inputs were already resized at load
     # time and resize_max is not idempotent (see ops/image.cap_max)
     contents = cap_max(contents, cfg.max_size)
     styles = cap_max(styles, cfg.max_size)
+    warm = init_images is not None
+    if warm:
+        # match the contents' full-res shape: the inits then flow through
+        # scale 0's "mid"-mode program as ``prev`` (same aval as the cold
+        # path's contents) — one program variant, not a new shape family
+        init_images = resize_bilinear(
+            init_images, (contents.shape[1], contents.shape[2])
+        )
 
     def shard(x, pspec=P("data")):
         if mesh is None or x is None:
@@ -316,6 +336,7 @@ def stylize_batch(
     content_masks = shard(content_masks)
     style_masks = shard(style_masks)
     region_valid = shard(region_valid)
+    init_images = shard(init_images)
 
     from strotss_tpu.utils import checkpoint as ckpt
 
@@ -331,6 +352,10 @@ def stylize_batch(
         "style_shape": list(styles.shape),
         "n_regions": int(content_masks.shape[1]) if use_mask else 0,
     }
+    if warm:
+        # only on warm runs, so cold fingerprints match existing
+        # checkpoints (same contract as stylize_single)
+        fingerprint["warm_start"] = True
     resume = ckpt.load_meta(cfg.checkpoint_dir)
     if resume is not None:
         ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
@@ -342,7 +367,8 @@ def stylize_batch(
             )
 
     alpha = cfg.initial_alpha()
-    stylized = None
+    # warm start: the inits play scale 0's "previous stylization"
+    stylized = init_images if warm else None
     final_u8 = None
     info: Dict = {"scales": [], "batch": int(contents.shape[0])}
     t_total = time.perf_counter()
@@ -363,6 +389,8 @@ def stylize_batch(
         chw = resize_max_hw(contents.shape[1], contents.shape[2], scl)
         shw = resize_max_hw(styles.shape[1], styles.shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
+        if i == 0 and warm:
+            mode = "mid"  # seed from init_images (see solve.stylize_single)
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
         lr_t = jnp.asarray(lr, jnp.float32)
 

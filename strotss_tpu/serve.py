@@ -19,7 +19,9 @@ Job stream: JSON Lines — one job per line — from a file, or from stdin
 Optional per-job fields: ``content_mask``/``style_mask`` (paths, both
 or neither), ``alpha``, ``seed``, ``init`` (a warm-start image path —
 the first scale seeds from it; chain each video frame's job with
-``"init": <previous frame's output>`` for frame-coherent stylization).
+``"init": <previous frame's output>`` for frame-coherent stylization;
+warm jobs batch with other warm jobs, so B interleaved video streams
+advance one frame per batch at batched throughput).
 Shared knobs (resolution schedule,
 dtype, iterations, ...) come from the CLI flags. One result line per
 job streams to ``--results`` (default stdout) as soon as it finishes:
@@ -199,10 +201,15 @@ def _run_single(args, job: Dict, vgg_params) -> Dict:
 
 
 def _batchable(job: Dict) -> bool:
-    # batched pairs share one config; per-job overrides, masks, and warm
-    # starts (video chains are inherently sequential) opt out
+    # batched pairs share one config; per-job overrides and masks opt
+    # out. Warm-start jobs batch with other warm jobs (the shape sig
+    # keeps groups warm/cold homogeneous): B parallel video streams
+    # advance one frame per batch at batched throughput. A chain WITHIN
+    # one stream self-corrects — frame t+1's init doesn't exist while
+    # frame t is still queued, so that group fails the load and the
+    # retry-singly path runs the frames in order.
     return not any(k in job for k in
-                   ("content_mask", "style_mask", "alpha", "seed", "init"))
+                   ("content_mask", "style_mask", "alpha", "seed"))
 
 
 def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
@@ -211,11 +218,19 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
     from strotss_tpu.parallel.batch import stylize_batch
     from strotss_tpu.utils.io import write_image
 
-    contents, styles = [], []
+    contents, styles, inits = [], [], []
     for job in jobs:
-        c, s, _, _, _ = _load_job_inputs(args, job)
+        c, s, _, _, init = _load_job_inputs(args, job)
         contents.append(c)
         styles.append(s)
+        if init is not None:
+            # per-job inits may differ in size; stack at the (shared)
+            # content shape — the solver's own preprocessing step
+            from strotss_tpu.ops.image import resize_bilinear
+
+            inits.append(resize_bilinear(init, (c.shape[1], c.shape[2])))
+    if inits and len(inits) != len(jobs):  # pragma: no cover - sig guard
+        raise ValueError("warm and cold jobs cannot share a batch group")
     # NamedSharding needs the pair axis divisible by the mesh's data axis;
     # undersized groups (end-of-stream flushes) run unsharded
     if mesh is not None and len(jobs) % mesh.shape["data"] != 0:
@@ -224,7 +239,9 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
     imgs, info = stylize_batch(jnp.concatenate(contents),
                                jnp.concatenate(styles),
                                _config(args, jobs[0]), vgg_params=vgg_params,
-                               mesh=mesh)
+                               mesh=mesh,
+                               init_images=(jnp.concatenate(inits)
+                                            if inits else None))
     per = round((time.perf_counter() - t0) / len(jobs), 3)
     # final-scale curve is (n_steps, B, 3): per-pair final losses
     scales = info.get("scales") or []
@@ -486,12 +503,18 @@ def _job_lines(path: str, should_stop=lambda: False):
 
 
 def _shape_sig(args, job: Dict):
-    """Loaded-image shape signature for batch grouping (header-only read)."""
+    """Loaded-image shape signature for batch grouping (header-only read).
+
+    Warm-start presence is part of the signature: warm and cold jobs run
+    different scale-0 programs (``stylize_batch(init_images=...)``), so
+    groups stay homogeneous. Init *sizes* don't matter — they're resized
+    to the content's shape inside the solver."""
     from strotss_tpu.utils.io import image_size
 
     try:
         return (image_size(job["content"], max_size=args.max_size),
-                image_size(job["style"], max_size=args.max_size))
+                image_size(job["style"], max_size=args.max_size),
+                "init" in job)
     except Exception:
         return None  # let the single path surface the real error
 

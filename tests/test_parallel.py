@@ -350,3 +350,50 @@ def test_batch_mesh_requires_data_axis(rng):
     with pytest.raises(ValueError, match="'data'"):
         stylize_batch(contents, styles, cfg,
                       vgg_params=random_params("16", 0), mesh=mesh)
+
+
+def test_batched_warm_start_matches_single_runs(rng):
+    """init_images keeps the per-pair exactness contract: pair b of a
+    warm B=2 batched run equals ``stylize_single(init_image=inits[b],
+    key=fold_in(key, b))`` — and the warm path actually changes the
+    trajectory vs cold (the "mid" scale-0 seed is live in the batch)."""
+    import jax
+
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.parallel.batch import stylize_batch
+    from strotss_tpu.solve import stylize_single
+
+    contents = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    styles = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    inits = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    cfg = StrotssConfig(
+        levels=1, max_iter=3, log_every=3, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+        precompile=False,
+    )
+    params = random_params("16", 0)
+    key = jax.random.PRNGKey(7)
+
+    out_b, info_b = stylize_batch(contents, styles, cfg, params, key=key,
+                                  init_images=inits)
+    out_cold, _ = stylize_batch(contents, styles, cfg, params, key=key)
+    assert np.abs(
+        np.asarray(out_b, np.int16) - np.asarray(out_cold, np.int16)
+    ).max() > 0
+    for b in range(2):
+        out_s, info_s = stylize_single(
+            contents[b:b + 1], styles[b:b + 1], cfg, params,
+            key=jax.random.fold_in(key, b),
+            init_image=inits[b:b + 1],
+        )
+        np.testing.assert_allclose(
+            info_b["scales"][0]["curve"][:, b, :],
+            info_s["scales"][0]["curve"],
+            rtol=2e-4, atol=1e-6,
+            err_msg=f"warm pair {b} trajectory diverged",
+        )
+        diff = np.abs(
+            np.asarray(out_b[b], np.int16) - np.asarray(out_s, np.int16)
+        )
+        assert diff.max() <= 1, f"warm pair {b} image diverged"

@@ -429,8 +429,8 @@ def test_job_lines_drain_recovers_consumed_line(monkeypatch):
 @pytest.mark.slow
 def test_serve_warm_start_chain(tmp_path, rng):
     """A job with "init" warm-starts from a previous job's output (the
-    video-chain pattern) and opts out of batching — while cold jobs
-    around it stay deterministic."""
+    video-chain pattern); warm/cold jobs never share a batch group —
+    while cold jobs around it stay deterministic."""
     cp, sp = _write_inputs(tmp_path, rng)
     o1, o2, o3 = (str(tmp_path / f"w{i}.jpg") for i in range(3))
     results = _serve(tmp_path, [
@@ -439,7 +439,8 @@ def test_serve_warm_start_chain(tmp_path, rng):
         {"content": cp, "style": sp, "output": o3},
     ], extra=("--batch", "2"))
     assert [r["ok"] for r in results] == [True, True, True]
-    assert all("batched" not in r for r in results)  # groups never filled
+    # cold/warm/cold alternation -> every group flushed at size 1
+    assert all("batched" not in r for r in results)
     from PIL import Image
 
     a, b, c = (np.asarray(Image.open(o)).astype(int) for o in (o1, o2, o3))
@@ -449,9 +450,46 @@ def test_serve_warm_start_chain(tmp_path, rng):
     assert np.abs(a - b).max() > 0
 
 
-def test_init_jobs_are_not_batchable():
-    from strotss_tpu.serve import _batchable
+@pytest.mark.slow
+def test_serve_warm_jobs_batch_together(tmp_path, rng):
+    """B interleaved video streams: consecutive warm jobs with matching
+    shapes form a batch group (the batched-throughput video pattern),
+    and each pair's init is live (different inits -> different outputs
+    for the same content/style/seed)."""
+    from PIL import Image
 
-    assert _batchable({"content": "c", "style": "s", "output": "o"})
-    assert not _batchable({"content": "c", "style": "s", "output": "o",
-                           "init": "prev.jpg"})
+    cp, sp = _write_inputs(tmp_path, rng)
+    # two distinct "previous frames" as inits
+    i1 = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    i2 = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    ip1, ip2 = str(tmp_path / "i1.png"), str(tmp_path / "i2.png")
+    Image.fromarray(i1).save(ip1)
+    Image.fromarray(i2).save(ip2)
+    o1, o2 = str(tmp_path / "s1.jpg"), str(tmp_path / "s2.jpg")
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": o1, "init": ip1},
+        {"content": cp, "style": sp, "output": o2, "init": ip2},
+    ], extra=("--batch", "2"))
+    assert [r["ok"] for r in results] == [True, True]
+    assert results[0].get("batched") == 2 and results[1].get("batched") == 2
+    a = np.asarray(Image.open(o1)).astype(int)
+    b = np.asarray(Image.open(o2)).astype(int)
+    assert a.shape == b.shape and np.abs(a - b).max() > 0
+
+
+def test_warm_and_cold_jobs_never_share_a_group(tmp_path, rng):
+    """Warm and cold jobs run different scale-0 programs, so the batch
+    signature must split them even when the images are identical."""
+    from strotss_tpu.serve import _batchable, _shape_sig
+
+    cp, sp = _write_inputs(tmp_path, rng)
+
+    class A:
+        max_size = None
+
+    warm = {"content": cp, "style": sp, "output": "o", "init": "p.jpg"}
+    cold = {"content": cp, "style": sp, "output": "o"}
+    assert _batchable(warm) and _batchable(cold)
+    sw, sc = _shape_sig(A(), warm), _shape_sig(A(), cold)
+    assert sw is not None and sc is not None
+    assert sw != sc and sw[:2] == sc[:2]
