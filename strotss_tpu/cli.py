@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "it (resized) instead of the cold content+"
                              "style-mean seed — refine a previous output, "
                              "or chain video frames for coherence")
+    parser.add_argument("--start_level", type=int, default=0,
+                        help="skip the coarsest N scales (alpha still "
+                             "halves per skipped scale). With --init this "
+                             "is a refinement pass: --level 4 "
+                             "--start_level 3 --init out.jpg polishes an "
+                             "existing result with extra 512px-only steps")
     return parser
 
 
@@ -159,6 +165,7 @@ def main(argv=None) -> int:
         save_every=args.save_every,
         checkpoint_dir=args.checkpoint_dir,
         taps=tuple(args.taps.split(",")) if args.taps else None,
+        start_level=args.start_level,
     )
 
     content = load_image(args.content_path, max_size=args.max_size)

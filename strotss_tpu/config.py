@@ -47,6 +47,15 @@ class StrotssConfig:
     pyramid_levels: int = 5  # reference nn/strotss_utils.py:149
 
     # --- TPU-native knobs (new capabilities) ------------------------------
+    #: skip the coarsest ``start_level`` scales of the schedule, running
+    #: only scales ``start_level..levels-1`` (alpha still halves per
+    #: skipped scale, so each executed scale sees exactly the alpha a full
+    #: run would give it). With ``init_image`` this is a REFINEMENT pass:
+    #: e.g. ``levels=4, start_level=3, init_image=prev_output`` polishes
+    #: an existing result with extra 512px-only steps at the full run's
+    #: final-scale settings. Without an init the first executed scale
+    #: seeds from the plain content.
+    start_level: int = 0
     #: dtype for the VGG conv path; losses always run in float32.
     compute_dtype: str = "bfloat16"
     #: steps per jitted scan chunk. Default = one chunk per scale (per-step

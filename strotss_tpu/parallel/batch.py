@@ -276,6 +276,11 @@ def stylize_batch(
     check_masks(content_masks, style_masks, region_valid, batched=True,
                 batch=contents.shape[0])
     cfg = cfg or StrotssConfig()
+    if not 0 <= cfg.start_level < cfg.levels:
+        raise ValueError(
+            f"start_level must be in [0, levels), got start_level="
+            f"{cfg.start_level} with levels={cfg.levels}"
+        )
     if cfg.shard_spatial:
         raise ValueError(
             "shard_spatial is a single-pair scale-out feature (stylize); "
@@ -356,6 +361,8 @@ def stylize_batch(
         # only on warm runs, so cold fingerprints match existing
         # checkpoints (same contract as stylize_single)
         fingerprint["warm_start"] = True
+    if cfg.start_level:
+        fingerprint["start_level"] = cfg.start_level  # same contract
     resume = ckpt.load_meta(cfg.checkpoint_dir)
     if resume is not None:
         ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
@@ -382,6 +389,11 @@ def stylize_batch(
         )(pair_keys)
         pair_keys, k_style, k_run = trip[:, 0], trip[:, 1], trip[:, 2]
 
+        if i < cfg.start_level:
+            # refinement mode: skip coarse scales, keep the alpha halving
+            # (see solve.stylize_single)
+            alpha /= 2.0
+            continue
         if resume is not None and i < resume["scale_index"]:
             alpha /= 2.0
             continue
@@ -480,4 +492,7 @@ def stylize_batch(
         alpha /= 2.0
 
     info["seconds"] = time.perf_counter() - t_total
+    # final float stylizations (pre-postprocess) — feed back as
+    # ``init_images`` for exact chains (see solve.stylize_single)
+    info["stylized"] = stylized
     return final_u8, info

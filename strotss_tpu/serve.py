@@ -21,8 +21,9 @@ or neither), ``alpha``, ``seed``, ``init`` (a warm-start image path —
 the first scale seeds from it; chain each video frame's job with
 ``"init": <previous frame's output>`` for frame-coherent stylization;
 warm jobs batch with other warm jobs, so B interleaved video streams
-advance one frame per batch at batched throughput).
-Shared knobs (resolution schedule,
+advance one frame per batch at batched throughput), ``start_level``
+(skip the coarsest N scales — with ``init`` this is a refinement pass
+at the fine scales only). Shared knobs (resolution schedule,
 dtype, iterations, ...) come from the CLI flags. One result line per
 job streams to ``--results`` (default stdout) as soon as it finishes:
 
@@ -127,6 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sinkhorn", action="store_true")
     parser.add_argument("--sample_size", type=int, default=1024)
     parser.add_argument("--taps", type=str, default=None)
+    parser.add_argument("--start_level", type=int, default=0)
     parser.add_argument("--device_id", "--gpu_id", type=int, default=0,
                         dest="device_id")
     return parser
@@ -143,6 +145,7 @@ def _config(args, job: Dict) -> StrotssConfig:
         use_keras_weight=args.use_keras_weight,
         compute_dtype=args.compute_dtype,
         seed=int(job.get("seed", args.seed)),
+        start_level=int(job.get("start_level", args.start_level)),
         log_every=args.max_iter,  # one chunk per scale: fastest
         use_pallas=not args.no_pallas,
         precompile=False,  # rely on the in-process jit cache across jobs
@@ -209,7 +212,8 @@ def _batchable(job: Dict) -> bool:
     # frame t is still queued, so that group fails the load and the
     # retry-singly path runs the frames in order.
     return not any(k in job for k in
-                   ("content_mask", "style_mask", "alpha", "seed"))
+                   ("content_mask", "style_mask", "alpha", "seed",
+                    "start_level"))
 
 
 def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:

@@ -880,6 +880,11 @@ def stylize_single(
         )
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
+    if not 0 <= cfg.start_level < cfg.levels:
+        raise ValueError(
+            f"start_level must be in [0, levels), got start_level="
+            f"{cfg.start_level} with levels={cfg.levels}"
+        )
 
     if snapshot_cb is not None and cfg.save_every > 0 and cfg.max_iter > 0:
         # snapshots can only fire at chunk boundaries (the image exists
@@ -953,6 +958,8 @@ def stylize_single(
         # resumed under a different scale-0 seed would silently continue
         # the wrong trajectory — the fingerprint check makes it an error.
         fingerprint["warm_start"] = True
+    if cfg.start_level:
+        fingerprint["start_level"] = cfg.start_level  # same contract
     resume = ckpt.load_meta(cfg.checkpoint_dir)
     if resume is not None:
         ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
@@ -974,8 +981,10 @@ def stylize_single(
             # resume-aware: compile only the programs this run will call —
             # completed scales' programs would waste 20-120 s/program of
             # relay compile AND leave unconsumed futures in flight at the
-            # end-of-run metric fetch (a documented minutes-long stall)
-            resume_scale=resume["scale_index"] if resume else 0,
+            # end-of-run metric fetch (a documented minutes-long stall).
+            # start_level skips coarse scales the same way.
+            resume_scale=max(cfg.start_level,
+                             resume["scale_index"] if resume else 0),
             resume_done=(
                 min(resume["done_steps"], cfg.max_iter) if resume else 0
             ),
@@ -993,6 +1002,12 @@ def stylize_single(
         t_scale = time.perf_counter()
         key, k_style, k_run = jax.random.split(jax.random.fold_in(key, i), 3)
 
+        if i < cfg.start_level:
+            # refinement mode skips the coarse scales entirely; alpha
+            # still halves so each executed scale sees exactly the alpha
+            # a full run would give it (run_strotss.py:158)
+            alpha /= 2.0
+            continue
         if resume is not None and i < resume["scale_index"]:
             # this scale completed in the interrupted run; only its final
             # pyramid matters, and that lives in the checkpointed scale —
@@ -1166,6 +1181,11 @@ def stylize_single(
             s["loss_s"] = float(s["curve"][-1, 2])
 
     info["seconds"] = time.perf_counter() - t_total
+    # the final FLOAT stylization (pre-postprocess): postprocess min-max
+    # renormalizes before quantizing, so chaining through the uint8 image
+    # perturbs the next run's seed — feed this back as ``init_image`` for
+    # exact refinement/video chains instead
+    info["stylized"] = stylized
     timings = getattr(programs, "timings", None)
     if timings:
         # per-program lower/compile/first-call seconds, so a slow warmup

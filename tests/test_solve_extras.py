@@ -236,3 +236,58 @@ def test_warm_start_init_image(rng):
         content, style, cfg, params, init_image=init_pre
     )
     np.testing.assert_array_equal(np.asarray(img_warm), np.asarray(img_warm2))
+
+
+def test_start_level_refine_matches_full_run_tail(rng):
+    """start_level + init_image reproduces a full run's fine-scale tail:
+    run the coarse scale alone (levels=1 — identical program, keys, and
+    alpha to the full run's scale 0), feed its FLOAT result
+    (info["stylized"]) into a start_level=1 refine — the refine's scale-1
+    trajectory and image must match the full levels=2 run's. Content is
+    sized so the final chw equals the full-res shape (the API-boundary
+    init resize is then the same 64->128 resize the full run's scale
+    handoff performs)."""
+    import dataclasses
+
+    content = jnp.asarray(rng.random((1, 128, 128, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 96, 96, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=2, max_iter=3, log_every=3, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+        precompile=False,
+    )
+    img_full, info_full = stylize_single(content, style, cfg, params)
+
+    coarse = dataclasses.replace(cfg, levels=1)
+    _, info_c = stylize_single(content, style, coarse, params)
+    # levels=1 IS the full run's scale 0 (same mode/alpha/lr/keys)
+    np.testing.assert_array_equal(
+        info_c["scales"][0]["curve"], info_full["scales"][0]["curve"]
+    )
+
+    refine = dataclasses.replace(cfg, start_level=1)
+    img_r, info_r = stylize_single(
+        content, style, refine, params, init_image=info_c["stylized"]
+    )
+    assert len(info_r["scales"]) == 1
+    assert info_r["scales"][0]["scale"] == 128
+    # alpha halved once for the skipped scale, like the full run
+    assert info_r["scales"][0]["alpha"] == info_full["scales"][1]["alpha"]
+    np.testing.assert_allclose(
+        info_r["scales"][0]["curve"], info_full["scales"][1]["curve"],
+        rtol=2e-4, atol=1e-6,
+    )
+    diff = np.abs(
+        np.asarray(img_r, np.int16) - np.asarray(img_full, np.int16)
+    )
+    assert diff.max() <= 1, f"refined image diverged (max {diff.max()})"
+
+
+def test_start_level_validation():
+    import pytest
+
+    content = jnp.zeros((1, 40, 40, 3), jnp.float32)
+    cfg = StrotssConfig(levels=2, start_level=2)
+    with pytest.raises(ValueError, match="start_level"):
+        stylize_single(content, content, cfg, random_params("16", 0))
