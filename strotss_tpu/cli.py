@@ -194,7 +194,8 @@ def main(argv=None) -> int:
         else:
             from tqdm import tqdm
 
-        bar = tqdm(total=cfg.levels * cfg.max_iter)
+        # skipped coarse scales never fire progress_cb
+        bar = tqdm(total=(cfg.levels - cfg.start_level) * cfg.max_iter)
         prog = {"base": 0, "scl": None}
 
         def progress(scl, done, total, metrics):

@@ -276,11 +276,9 @@ def stylize_batch(
     check_masks(content_masks, style_masks, region_valid, batched=True,
                 batch=contents.shape[0])
     cfg = cfg or StrotssConfig()
-    if not 0 <= cfg.start_level < cfg.levels:
-        raise ValueError(
-            f"start_level must be in [0, levels), got start_level="
-            f"{cfg.start_level} with levels={cfg.levels}"
-        )
+    from strotss_tpu.validation import check_start_level
+
+    check_start_level(cfg)
     if cfg.shard_spatial:
         raise ValueError(
             "shard_spatial is a single-pair scale-out feature (stylize); "
@@ -324,12 +322,13 @@ def stylize_batch(
     styles = cap_max(styles, cfg.max_size)
     warm = init_images is not None
     if warm:
-        # match the contents' full-res shape: the inits then flow through
-        # scale 0's "mid"-mode program as ``prev`` (same aval as the cold
-        # path's contents) — one program variant, not a new shape family
-        init_images = resize_bilinear(
-            init_images, (contents.shape[1], contents.shape[2])
-        )
+        # ONE direct resize to the first executed scale's chw — the exact
+        # resample a full run's scale handoff performs, so warm batched
+        # chains keep the per-pair equivalence with warm single runs for
+        # any content shape and start_level (see solve.stylize_single)
+        chw0 = resize_max_hw(contents.shape[1], contents.shape[2],
+                             cfg.scale_sizes()[cfg.start_level])
+        init_images = resize_bilinear(init_images, chw0)
 
     def shard(x, pspec=P("data")):
         if mesh is None or x is None:

@@ -208,8 +208,10 @@ def _batchable(job: Dict) -> bool:
     # out. Warm-start jobs batch with other warm jobs (the shape sig
     # keeps groups warm/cold homogeneous): B parallel video streams
     # advance one frame per batch at batched throughput. A chain WITHIN
-    # one stream self-corrects — frame t+1's init doesn't exist while
-    # frame t is still queued, so that group fails the load and the
+    # one stream is kept sequential by the main loop's dependency flush
+    # (a job whose init is a pending job's output never joins its
+    # producer's group — see main); a dangling init (producer already
+    # emitted, file missing) fails that group's load and the
     # retry-singly path runs the frames in order.
     return not any(k in job for k in
                    ("content_mask", "style_mask", "alpha", "seed",
@@ -594,7 +596,17 @@ def main(argv=None) -> int:
                 continue
             sig = (_shape_sig(args, job)
                    if args.batch > 1 and _batchable(job) else None)
-            if pending and (sig is None or sig != pending_sig):
+            # a warm job whose init IS a pending job's output depends on
+            # that job: flush the group first so the init is loaded FRESH
+            # after its producer ran. Without this, re-running a
+            # single-stream chain whose output files already exist (crash
+            # recovery, changed style/budget) would batch frames together
+            # and silently seed them from the PREVIOUS run's stale files.
+            depends = sig is not None and "init" in job and any(
+                os.path.abspath(p.get("output", "")) ==
+                os.path.abspath(job["init"]) for p in pending
+            )
+            if pending and (sig is None or sig != pending_sig or depends):
                 batch, pending = pending, []
                 run(batch)
                 n_done += len(batch)

@@ -663,10 +663,19 @@ def _scale_signatures(
     ``prev`` (the previous scale's stylized image) has the PREVIOUS scale's
     chw shape — except at the first *executed* scale, where it's the
     full-resolution content (scale 0 normally; the checkpoint's scale on
-    resume, because the skipped scales produce no stylized image).
+    resume, because the skipped scales produce no stylized image), or, on
+    warm-start runs, the init image at the start scale's chw.
     """
     sigs = []
     prev_shape = tuple(content_shape)
+    if warm_start:
+        # a warm run's first executed scale takes the init image as
+        # ``prev``, already resized to that API-boundary chw (the first
+        # scale of the schedule, or cfg.start_level's scale — resume can
+        # only land at or after it, and skipped scales produce no image)
+        chw0 = resize_max_hw(content_shape[1], content_shape[2],
+                             cfg.scale_sizes()[cfg.start_level])
+        prev_shape = (1, chw0[0], chw0[1], 3)
     for i, scl in enumerate(cfg.scale_sizes()):
         chw = resize_max_hw(content_shape[1], content_shape[2], scl)
         shw = resize_max_hw(style_shape[1], style_shape[2], scl)
@@ -869,22 +878,24 @@ def stylize_single(
     # the cap are downscaled exactly like the reference's load-time resize.
     content = cap_max(content, cfg.max_size)
     style = cap_max(style, cfg.max_size)
+    from strotss_tpu.validation import check_start_level
+
+    check_start_level(cfg)
     warm = init_image is not None
     if warm:
-        # match the content's full-res shape exactly: the init then flows
-        # through the existing "mid"-mode program as scale 0's ``prev``
-        # (same aval as the cold path's content), so warm starts add one
-        # program variant (mode) per shape bucket, not a new shape family
-        init_image = resize_bilinear(
-            init_image, (content.shape[1], content.shape[2])
-        )
+        # ONE direct resize to the first executed scale's resolution —
+        # the exact resample a full run's scale handoff performs on its
+        # predecessor (resize(prev, chw), _scale_seed "mid"/"last"), so a
+        # refine seeded with info["stylized"] reproduces the full run's
+        # tail for ANY content shape and start_level (a detour through
+        # the full-res shape would compose two bilinear resamples and
+        # silently deviate). The warm first-scale program's ``prev`` aval
+        # is this chw shape — still one program variant per shape bucket.
+        chw0 = resize_max_hw(content.shape[1], content.shape[2],
+                             cfg.scale_sizes()[cfg.start_level])
+        init_image = resize_bilinear(init_image, chw0)
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
-    if not 0 <= cfg.start_level < cfg.levels:
-        raise ValueError(
-            f"start_level must be in [0, levels), got start_level="
-            f"{cfg.start_level} with levels={cfg.levels}"
-        )
 
     if snapshot_cb is not None and cfg.save_every > 0 and cfg.max_iter > 0:
         # snapshots can only fire at chunk boundaries (the image exists

@@ -107,3 +107,12 @@ def check_masks(
                     f"region_valid must have shape (B, K) = "
                     f"({cshape[0]}, {cshape[1]}), got {vshape}"
                 )
+
+
+def check_start_level(cfg) -> None:
+    """``start_level`` must leave at least one scale to run."""
+    if not 0 <= cfg.start_level < cfg.levels:
+        raise ValueError(
+            f"start_level must be in [0, levels), got start_level="
+            f"{cfg.start_level} with levels={cfg.levels}"
+        )

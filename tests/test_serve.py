@@ -493,3 +493,28 @@ def test_warm_and_cold_jobs_never_share_a_group(tmp_path, rng):
     sw, sc = _shape_sig(A(), warm), _shape_sig(A(), cold)
     assert sw is not None and sc is not None
     assert sw != sc and sw[:2] == sc[:2]
+
+
+@pytest.mark.slow
+def test_serve_chain_dependency_never_batches_with_producer(tmp_path, rng):
+    """A warm job whose init IS a pending job's output must not join its
+    producer's batch group — even when a STALE copy of that output
+    already exists on disk (crash recovery / re-run), where the group's
+    load would succeed and silently seed from the previous run's file."""
+    from PIL import Image
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    ip0 = str(tmp_path / "i0.png")
+    Image.fromarray(
+        (rng.random((40, 48, 3)) * 255).astype(np.uint8)).save(ip0)
+    o1, o2 = str(tmp_path / "f1.jpg"), str(tmp_path / "f2.jpg")
+    # stale o1 from a "previous run": loading it would NOT fail
+    Image.fromarray(
+        (rng.random((40, 48, 3)) * 255).astype(np.uint8)).save(o1)
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": o1, "init": ip0},
+        {"content": cp, "style": sp, "output": o2, "init": o1},
+    ], extra=("--batch", "2"))
+    assert [r["ok"] for r in results] == [True, True]
+    # same shapes + both warm would batch — the dependency must flush
+    assert all("batched" not in r for r in results)

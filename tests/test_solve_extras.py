@@ -187,29 +187,33 @@ def test_no_snapshot_cb_keeps_chunking(rng):
 
 
 def test_warm_start_signatures():
-    """warm_start flips ONLY scale 0's mode to "mid" (seed from the init
-    image); every other signature — shapes, chunk sizes, prev shapes —
-    is unchanged, so warm starts add one program variant per shape
-    bucket, not a new shape family."""
+    """warm_start flips scale 0's mode to "mid" and its ``prev`` aval to
+    the init image at scale 0's chw (the API boundary resizes the init
+    directly to the first executed scale's resolution — the exact
+    resample a full run's handoff performs); everything downstream is
+    unchanged, so warm starts add one program variant per shape bucket,
+    not a new shape family."""
     from strotss_tpu.solve import _scale_signatures
 
     cfg = StrotssConfig(levels=2, max_iter=4, log_every=4)
-    cshape, sshape = (1, 64, 64, 3), (1, 48, 64, 3)
+    cshape, sshape = (1, 100, 80, 3), (1, 48, 64, 3)
     cold = _scale_signatures(cfg, cshape, sshape)
     warm = _scale_signatures(cfg, cshape, sshape, warm_start=True)
     assert cold[0][2] == "first" and warm[0][2] == "mid"
-    assert warm[0][:2] == cold[0][:2] and warm[0][3:] == cold[0][3:]
+    assert warm[0][:2] == cold[0][:2] and warm[0][3:5] == cold[0][3:5]
     assert warm[1:] == cold[1:]
-    # scale 0's prev (= the resized init image) is full-res content shape
-    assert warm[0][5] == cshape
+    # cold scale 0's prev is the full-res content; warm scale 0's is the
+    # init at scale 0's chw (resize_max_hw(100, 80, 64) = (64, 51))
+    assert cold[0][5] == cshape
+    assert warm[0][5] == (1, 64, 51, 3)
 
 
 def test_warm_start_init_image(rng):
     """init_image warm start: the first scale seeds from the init (the
     "mid" rule) instead of the cold content+style-mean seed — the result
     must differ from the cold run; and an init at any resolution gives
-    the bit-exact same run as one pre-resized to the content's shape
-    (the internal resize is the only preprocessing)."""
+    the bit-exact same run as one pre-resized to the first scale's chw
+    (ONE direct resize to that resolution is the only preprocessing)."""
     content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
     style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
     params = random_params("16", 0)
@@ -230,8 +234,10 @@ def test_warm_start_init_image(rng):
     ).max() > 0
 
     from strotss_tpu.ops.image import resize_bilinear
+    from strotss_tpu.solve import resize_max_hw
 
-    init_pre = resize_bilinear(init_small, (40, 40))
+    chw0 = resize_max_hw(40, 40, 64)  # the first scale's resolution
+    init_pre = resize_bilinear(init_small, chw0)
     img_warm2, _ = stylize_single(
         content, style, cfg, params, init_image=init_pre
     )
@@ -244,12 +250,14 @@ def test_start_level_refine_matches_full_run_tail(rng):
     alpha to the full run's scale 0), feed its FLOAT result
     (info["stylized"]) into a start_level=1 refine — the refine's scale-1
     trajectory and image must match the full levels=2 run's. Content is
-    sized so the final chw equals the full-res shape (the API-boundary
-    init resize is then the same 64->128 resize the full run's scale
-    handoff performs)."""
+    deliberately sized so the full-res shape (40x40) differs from every
+    chw: the claim only holds because the API boundary resizes the init
+    DIRECTLY to the first executed scale's chw (the same 64->128 resample
+    the full run's handoff performs) — a detour through the full-res
+    shape would compose two resamples and diverge."""
     import dataclasses
 
-    content = jnp.asarray(rng.random((1, 128, 128, 3)), jnp.float32)
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
     style = jnp.asarray(rng.random((1, 96, 96, 3)), jnp.float32)
     params = random_params("16", 0)
     cfg = StrotssConfig(
