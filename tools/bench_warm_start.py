@@ -86,8 +86,10 @@ def main() -> None:
         wcfg = StrotssConfig(max_iter=it,
                              log_every=min(200, it),
                              compute_dtype=cfg.compute_dtype)
-        # one compile pass so the measured runs are steady-state
+        # one compile pass PER VARIANT so the measured runs are
+        # steady-state (warm and cold scale-0 are different programs)
         run(frame2, style, wcfg, params, init=styl1)
+        run(frame2, style, wcfg, params)
         _, info_w, t_warm = run(frame2, style, wcfg, params, init=styl1)
         # cold at the SAME budget: the fair convergence comparison — the
         # question is whether warm-starting buys loss at a given budget,
