@@ -86,9 +86,59 @@ def report(long_edge: int, params) -> dict:
     return {"long_edge": long_edge, "programs": rows}
 
 
+def batch_report(batch: int, params) -> dict:
+    """Planned memory of the BATCHED finest-scale (512px) chunk program —
+    the sweet-spot evidence: B=8's temp sits well inside HBM, B=16's
+    approaches it (and measured 4.20 s/image vs B=8's 3.75)."""
+    import jax.numpy as jnp
+
+    from strotss_tpu.parallel.batch import (
+        prepare_scale_batch,
+        run_chunk_batch,
+    )
+    from strotss_tpu.solve import (
+        _SRC_TAG_DIM,
+        resize_max_hw,
+        spec_from_config,
+    )
+
+    cfg = StrotssConfig()
+    spec = spec_from_config(cfg, batched=True)
+    aval = jax.ShapeDtypeStruct
+    cshape = content_shape_for(512)
+    chw = resize_max_hw(cshape[1], cshape[2], 512)
+    shw = resize_max_hw(400, 300, 512)
+    prep = jax.eval_shape(
+        prepare_scale_batch, spec, "last", chw, shw, cfg.pyramid_levels,
+        None, jax.tree.map(lambda a: aval(a.shape, a.dtype), params),
+        aval((batch,) + cshape[1:], jnp.float32),
+        aval((batch, 400, 300, 3), jnp.float32),
+        aval((batch,) + cshape[1:], jnp.float32),
+        aval((batch, 2), jnp.uint32), aval((), jnp.float32),
+    )
+    pyramid, content_feats, style_targets, _, opt_state = prep
+    lo = run_chunk_batch.trace(
+        spec, cfg.log_every, None,
+        jax.tree.map(lambda a: aval(a.shape, a.dtype), params),
+        content_feats, style_targets, None, None, pyramid, opt_state,
+        aval((batch, 2), jnp.uint32), aval((), jnp.float32),
+        aval((), jnp.float32), aval((_SRC_TAG_DIM,), jnp.float32),
+    ).lower()
+    ma = lo.compile().memory_analysis()
+    row = {"batch": batch,
+           "args_mb": round(ma.argument_size_in_bytes / MB, 1),
+           "temp_mb": round(ma.temp_size_in_bytes / MB, 1)}
+    print(f"#   batched 512px chunk, B={batch}: args {row['args_mb']} MB  "
+          f"temp {row['temp_mb']} MB", file=sys.stderr)
+    return row
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--long_edges", type=str, default="512,1024,2048")
+    ap.add_argument("--batches", type=str, default="",
+                    help="also report the batched 512px chunk program at "
+                         "these batch sizes, e.g. 8,16")
     ap.add_argument("--run", action="store_true",
                     help="execute the largest resolution end-to-end")
     args = ap.parse_args()
@@ -100,6 +150,9 @@ def main() -> None:
     params = load_vgg_params(cfg0.vgg_type, cfg0.use_keras_weight)
     out = {"device": str(jax.devices()[0].device_kind),
            "reports": [report(e, params) for e in edges]}
+    if args.batches:
+        out["batched_512"] = [batch_report(int(b), params)
+                              for b in args.batches.split(",")]
 
     if args.run:
         e = max(edges)
