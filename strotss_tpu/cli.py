@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "it (resized) instead of the cold content+"
                              "style-mean seed — refine a previous output, "
                              "or chain video frames for coherence")
+    parser.add_argument("--remat", action="store_true",
+                        help="recompute VGG activations in the backward "
+                             "pass (jax.checkpoint): ~3x less activation "
+                             "memory for ~1 extra forward — enables "
+                             "resolutions past the single-chip ceiling")
     parser.add_argument("--start_level", type=int, default=0,
                         help="skip the coarsest N scales (alpha still "
                              "halves per skipped scale). With --init this "
@@ -166,6 +171,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         taps=tuple(args.taps.split(",")) if args.taps else None,
         start_level=args.start_level,
+        remat=args.remat,
     )
 
     content = load_image(args.content_path, max_size=args.max_size)

@@ -56,6 +56,14 @@ class StrotssConfig:
     #: final-scale settings. Without an init the first executed scale
     #: seeds from the plain content.
     start_level: int = 0
+    #: rematerialize the VGG forward in the backward pass
+    #: (``jax.checkpoint``): recompute conv activations instead of storing
+    #: them — one extra forward of FLOPs for a ~3x smaller live-activation
+    #: footprint. OFF for the default workload (512px fits comfortably and
+    #: remat costs step time); turn ON to push past the single-chip
+    #: resolution ceiling (2048px without, measured — see
+    #: ``tools/mem_report.py --remat`` and docs/DEPLOY.md).
+    remat: bool = False
     #: dtype for the VGG conv path; losses always run in float32.
     compute_dtype: str = "bfloat16"
     #: steps per jitted scan chunk. Default = one chunk per scale (per-step

@@ -46,6 +46,7 @@ from strotss_tpu.solve import (
     _scale_seed,
     _step_losses,
     chunk_plan,
+    extract_for_grad,
     extract_hypercolumn,
     make_optimizer,
     resize_max_hw,
@@ -191,7 +192,7 @@ def run_chunk_batch(
     def loss_fn(pyr, keys):
         img = fold_laplacian_pyramid(pyr)
         img = _constrain(img, mesh, P("data"))
-        pred = extract_hypercolumn(spec, vgg_params, img)
+        pred = extract_for_grad(spec, vgg_params, img)
         in_axes = (0, 0, 0, 0,
                    None if content_masks is None else 0,
                    None if region_valid is None else 0,

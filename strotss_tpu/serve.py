@@ -129,6 +129,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sample_size", type=int, default=1024)
     parser.add_argument("--taps", type=str, default=None)
     parser.add_argument("--start_level", type=int, default=0)
+    parser.add_argument("--remat", action="store_true")
     parser.add_argument("--device_id", "--gpu_id", type=int, default=0,
                         dest="device_id")
     return parser
@@ -146,6 +147,7 @@ def _config(args, job: Dict) -> StrotssConfig:
         compute_dtype=args.compute_dtype,
         seed=int(job.get("seed", args.seed)),
         start_level=int(job.get("start_level", args.start_level)),
+        remat=args.remat,
         log_every=args.max_iter,  # one chunk per scale: fastest
         use_pallas=not args.no_pallas,
         precompile=False,  # rely on the in-process jit cache across jobs

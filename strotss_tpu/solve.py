@@ -122,6 +122,12 @@ class StepSpec(NamedTuple):
     #: VGG block1: 'xla' (lax convs) or 'pallas' (fused kernel; bf16
     #: mixed-policy single-image runs only — see config.block1_impl).
     block1_impl: str = "xla"
+    #: rematerialize the VGG forward in the backward pass
+    #: (``jax.checkpoint``): activations are recomputed instead of stored,
+    #: trading ~1 extra forward of FLOPs for a ~3x smaller live-activation
+    #: footprint — raises the single-chip resolution ceiling
+    #: (config.remat; measured in tools/mem_report.py --remat).
+    remat: bool = False
 
 
 def spec_from_config(
@@ -157,6 +163,7 @@ def spec_from_config(
         # sample-axis/spatial sharding uses plain-XLA loss impls: GSPMD
         # partitions them automatically; the Pallas kernels are
         # single-device programs
+        remat=cfg.remat,
         remd_impl="xla" if (cfg.shard_samples or cfg.shard_spatial) else impl,
         selfsim_impl=(
             "xla" if (cfg.shard_samples or cfg.shard_spatial) else impl
@@ -199,6 +206,22 @@ def extract_hypercolumn(spec: StepSpec, vgg_params, img: jnp.ndarray):
 @partial(jax.jit, static_argnames=("spec",))
 def _extract_j(spec: StepSpec, vgg_params, img):
     return extract_hypercolumn(spec, vgg_params, img)
+
+
+def extract_for_grad(spec: StepSpec, vgg_params, img: jnp.ndarray):
+    """The loss-path extraction: like :func:`extract_hypercolumn`, but
+    under ``spec.remat`` the VGG forward is wrapped in ``jax.checkpoint``
+    so the backward pass RECOMPUTES the conv activations instead of
+    storing them — one extra forward of FLOPs for a ~3x smaller
+    live-activation footprint (the dominant term in the finest-scale
+    program's temp memory; tools/mem_report.py). Only this grad-carrying
+    call site remats: the per-scale content/style extractions are
+    forward-only, so XLA keeps no activations for them anyway."""
+    if not spec.remat:
+        return extract_hypercolumn(spec, vgg_params, img)
+    return jax.checkpoint(
+        extract_hypercolumn, static_argnums=(0,)
+    )(spec, vgg_params, img)
 
 
 def resize_max_hw(h: int, w: int, max_size: Optional[int]) -> Tuple[int, int]:
@@ -432,7 +455,7 @@ def _optimization_scan(spec, n_steps, vgg_params, content_feats,
         img = fold_laplacian_pyramid(pyr)
         if spec.shard_spatial:
             img = _shard_spatial_constraint(img, mesh)
-        pred = extract_hypercolumn(spec, vgg_params, img)
+        pred = extract_for_grad(spec, vgg_params, img)
         return _step_losses(
             spec, content_feats, pred, style_targets, content_masks,
             alpha, k, mesh=mesh, style_moments=style_moments,

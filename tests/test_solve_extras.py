@@ -299,3 +299,29 @@ def test_start_level_validation():
     cfg = StrotssConfig(levels=2, start_level=2)
     with pytest.raises(ValueError, match="start_level"):
         stylize_single(content, content, cfg, random_params("16", 0))
+
+
+def test_remat_is_numerically_exact(rng):
+    """cfg.remat recomputes the VGG forward in the backward pass
+    (jax.checkpoint) — same ops, same precisions, so the optimization
+    trajectory and image must be IDENTICAL to the stored-activation
+    run; only the memory/time trade changes."""
+    import dataclasses
+
+    content = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    style = jnp.asarray(rng.random((1, 40, 40, 3)), jnp.float32)
+    params = random_params("16", 0)
+    cfg = StrotssConfig(
+        levels=1, max_iter=3, log_every=3, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+    )
+    img, info = stylize_single(content, style, cfg, params)
+    img_r, info_r = stylize_single(
+        content, style, dataclasses.replace(cfg, remat=True), params
+    )
+    np.testing.assert_allclose(
+        info_r["scales"][0]["curve"], info["scales"][0]["curve"],
+        rtol=1e-6, atol=1e-8,
+    )
+    diff = np.abs(np.asarray(img_r, np.int16) - np.asarray(img, np.int16))
+    assert diff.max() <= 1

@@ -59,8 +59,8 @@ def levels_for(long_edge: int) -> int:
     return levels
 
 
-def report(long_edge: int, params) -> dict:
-    cfg = StrotssConfig(levels=levels_for(long_edge))
+def report(long_edge: int, params, remat: bool = False) -> dict:
+    cfg = StrotssConfig(levels=levels_for(long_edge), remat=remat)
     spec = spec_from_config(cfg)
     cshape = content_shape_for(long_edge)
     sshape = (1, 1600, 1200, 3)  # bundled style geometry
@@ -79,7 +79,8 @@ def report(long_edge: int, params) -> dict:
             "temp_mb": round(ma.temp_size_in_bytes / MB, 1),
             "out_mb": round(ma.output_size_in_bytes / MB, 1),
         })
-        print(f"#   {long_edge}px run, scale {rows[-1]['scale']:>5}px: "
+        print(f"#   {long_edge}px{' remat' if remat else ''} run, "
+              f"scale {rows[-1]['scale']:>5}px: "
               f"args {rows[-1]['args_mb']:>8} MB  temp "
               f"{rows[-1]['temp_mb']:>8} MB  out {rows[-1]['out_mb']:>7} MB",
               file=sys.stderr)
@@ -141,6 +142,8 @@ def main() -> None:
                          "these batch sizes, e.g. 8,16")
     ap.add_argument("--run", action="store_true",
                     help="execute the largest resolution end-to-end")
+    ap.add_argument("--remat", action="store_true",
+                    help="measure with cfg.remat (recomputed activations)")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -149,7 +152,8 @@ def main() -> None:
     cfg0 = StrotssConfig()
     params = load_vgg_params(cfg0.vgg_type, cfg0.use_keras_weight)
     out = {"device": str(jax.devices()[0].device_kind),
-           "reports": [report(e, params) for e in edges]}
+           "remat": args.remat,
+           "reports": [report(e, params, args.remat) for e in edges]}
     if args.batches:
         out["batched_512"] = [batch_report(int(b), params)
                               for b in args.batches.split(",")]
@@ -159,7 +163,7 @@ def main() -> None:
         cshape = content_shape_for(e)
         content = synth_image(cshape[1], cshape[2], 1)
         style = synth_image(1600, 1200, 2)
-        cfg = StrotssConfig(levels=levels_for(e))
+        cfg = StrotssConfig(levels=levels_for(e), remat=args.remat)
         t0 = time.perf_counter()
         img, info = stylize_single(content, style, cfg, params)
         jax.block_until_ready(img)
