@@ -90,8 +90,11 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     steps = cfg.levels * cfg.max_iter
+    # per-scale seconds are DISPATCH times here: with no per-chunk consumer
+    # the solver defers metric fetches and the 4 scales pipeline on-device
+    # (honest per-scale device times: tools/trace_step.py)
     print(f"# steady-state: {elapsed:.2f}s for {steps} steps "
-          f"({steps / elapsed:.1f} steps/s); per-scale: "
+          f"({steps / elapsed:.1f} steps/s); per-scale dispatch: "
           + ", ".join(f"{s['scale']}px {s['seconds']:.2f}s"
                       for s in info["scales"]),
           file=sys.stderr)
