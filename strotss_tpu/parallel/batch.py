@@ -53,6 +53,7 @@ from strotss_tpu.solve import (
     source_tag,
     spec_from_config,
     style_target_moments as solve_style_moments,
+    warm_init_hw,
 )
 
 
@@ -326,10 +327,15 @@ def stylize_batch(
         # ONE direct resize to the first executed scale's chw — the exact
         # resample a full run's scale handoff performs, so warm batched
         # chains keep the per-pair equivalence with warm single runs for
-        # any content shape and start_level (see solve.stylize_single)
-        chw0 = resize_max_hw(contents.shape[1], contents.shape[2],
-                             cfg.scale_sizes()[cfg.start_level])
-        init_images = resize_bilinear(init_images, chw0)
+        # any content shape and start_level (see solve.warm_init_hw).
+        # A no-op when the caller pre-resized to that shape (serve stacks
+        # per-job inits at warm_init_hw — never at the content's shape,
+        # which would compose two resamples and deviate from the single
+        # path's one-resample contract).
+        init_images = resize_bilinear(
+            init_images,
+            warm_init_hw(contents.shape[1], contents.shape[2], cfg),
+        )
 
     def shard(x, pspec=P("data")):
         if mesh is None or x is None:

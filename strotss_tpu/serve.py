@@ -232,13 +232,24 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
         contents.append(c)
         styles.append(s)
         if init is not None:
-            # per-job inits may differ in size; stack at the (shared)
-            # content shape — the solver's own preprocessing step
-            from strotss_tpu.ops.image import resize_bilinear
-
-            inits.append(resize_bilinear(init, (c.shape[1], c.shape[2])))
+            inits.append(init)
     if inits and len(inits) != len(jobs):  # pragma: no cover - sig guard
         raise ValueError("warm and cold jobs cannot share a batch group")
+    if inits:
+        # per-job inits may differ in size; stack them at the first
+        # executed scale's chw — the SAME single direct resample
+        # stylize_single performs (solve.warm_init_hw), never a detour
+        # through the content shape (that would compose two bilinear
+        # resamples and silently deviate a chained video frame's batched
+        # trajectory from its single-run trajectory whenever the init's
+        # shape differs from the content's). stylize_batch's own resize
+        # then no-ops on the already-matching shape.
+        from strotss_tpu.ops.image import resize_bilinear
+        from strotss_tpu.solve import warm_init_hw
+
+        chw0 = warm_init_hw(contents[0].shape[1], contents[0].shape[2],
+                            _config(args, jobs[0]))
+        inits = [resize_bilinear(init, chw0) for init in inits]
     # NamedSharding needs the pair axis divisible by the mesh's data axis;
     # undersized groups (end-of-stream flushes) run unsharded
     if mesh is not None and len(jobs) % mesh.shape["data"] != 0:
@@ -515,8 +526,8 @@ def _shape_sig(args, job: Dict):
 
     Warm-start presence is part of the signature: warm and cold jobs run
     different scale-0 programs (``stylize_batch(init_images=...)``), so
-    groups stay homogeneous. Init *sizes* don't matter — they're resized
-    to the content's shape inside the solver."""
+    groups stay homogeneous. Init *sizes* don't matter — each is resized
+    once, directly to the first executed scale's chw (see _run_batch)."""
     from strotss_tpu.utils.io import image_size
 
     try:

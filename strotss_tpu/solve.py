@@ -232,6 +232,23 @@ def resize_max_hw(h: int, w: int, max_size: Optional[int]) -> Tuple[int, int]:
     return int(h / factor), int(w / factor)
 
 
+def warm_init_hw(content_h: int, content_w: int,
+                 cfg: StrotssConfig) -> Tuple[int, int]:
+    """The (h, w) a warm-start ``init_image`` is resized to: the first
+    *executed* scale's resolution (``cfg.start_level``'s scale).
+
+    The exactness contract for warm starts is ONE direct resize to this
+    shape — the same resample a full run's scale handoff performs on its
+    predecessor (``_scale_seed`` "mid"/"last") — so a refine seeded with
+    ``info["stylized"]`` reproduces the full run's tail. Every caller
+    that pre-resizes inits (``serve._run_batch`` stacks per-job inits)
+    MUST use this helper: a detour through any other shape (e.g. the
+    content's) composes two bilinear resamples and silently deviates.
+    """
+    return resize_max_hw(content_h, content_w,
+                         cfg.scale_sizes()[cfg.start_level])
+
+
 def _scale_seed(mode: str, chw, shw, levels: int, content, style, prev):
     """Per-scale init math (run_strotss.py:74-89): resize inputs, build the
     Laplacian seed, split into pyramid variables."""
@@ -696,8 +713,7 @@ def _scale_signatures(
         # ``prev``, already resized to that API-boundary chw (the first
         # scale of the schedule, or cfg.start_level's scale — resume can
         # only land at or after it, and skipped scales produce no image)
-        chw0 = resize_max_hw(content_shape[1], content_shape[2],
-                             cfg.scale_sizes()[cfg.start_level])
+        chw0 = warm_init_hw(content_shape[1], content_shape[2], cfg)
         prev_shape = (1, chw0[0], chw0[1], 3)
     for i, scl in enumerate(cfg.scale_sizes()):
         chw = resize_max_hw(content_shape[1], content_shape[2], scl)
@@ -915,9 +931,9 @@ def stylize_single(
         # the full-res shape would compose two bilinear resamples and
         # silently deviate). The warm first-scale program's ``prev`` aval
         # is this chw shape — still one program variant per shape bucket.
-        chw0 = resize_max_hw(content.shape[1], content.shape[2],
-                             cfg.scale_sizes()[cfg.start_level])
-        init_image = resize_bilinear(init_image, chw0)
+        init_image = resize_bilinear(
+            init_image, warm_init_hw(content.shape[1], content.shape[2], cfg)
+        )
     use_mask = content_masks is not None
     spec = spec_from_config(cfg, masked=use_mask)
 
