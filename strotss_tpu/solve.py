@@ -774,8 +774,35 @@ class PrecompiledPrograms:
         dumps: the 150-500 s warmups were a device_get at solve's chunk
         loop, not compilation). The solver now defers metric fetches in
         EVERY callback-free run (not just while this is True), so this
-        is diagnostic API — kept for tools and tests."""
+        is kept purely as a diagnostic."""
         return any(not f.done() for f in self._futs.values())
+
+
+# program signatures whose one-time remote load was already forced this
+# process (see the STROTSS_PRELOAD throwaway in precompile_scales) —
+# repeat stylizations must not re-pay the throwaway's device work
+_PRELOADED: set = set()
+_PRELOADED_LOCK = None  # created lazily (threading import)
+
+
+def _preload_enabled() -> bool:
+    """Gate for the throwaway-execution program preload (default ON).
+
+    On this backend the relay loads each compiled program into the device
+    server lazily, at its first execution — and that load is the dominant,
+    previously-unattributed term of slow warmups (24-46 s healthy,
+    125-820 s after heavy relay use, BENCH_r03's 259.6 s). The lever:
+    as each program's compile RPC lands in its worker thread, fire ONE
+    throwaway execution on scratch inputs and device_get a small output —
+    the loads then overlap each other and the coarse scales' real
+    execution instead of serializing on the first real call of each
+    program. Costs one extra execution of each program (~4.4 s device
+    time for the default config) the FIRST time a signature is seen in a
+    process (``_PRELOADED``); measured on chip in ROUND4.md.
+    """
+    import os
+
+    return os.environ.get("STROTSS_PRELOAD", "1") not in ("0", "false")
 
 
 def precompile_scales(
@@ -790,6 +817,8 @@ def precompile_scales(
     resume_scale: int = 0,
     resume_done: int = 0,
     warm_start: bool = False,
+    content=None,
+    style=None,
 ) -> PrecompiledPrograms:
     """AOT-compile every per-scale program, overlapping the slow compiles.
 
@@ -806,9 +835,19 @@ def precompile_scales(
     path on a key miss (resume signatures) or a failed compile. The AOT
     executables are keyed by exact input avals — ``stylize_single`` passes
     strongly-typed scalars so the calls match.
+
+    ``content``/``style``: the real (device-resident) images, if the
+    caller has them — the program-load throwaways (see
+    :func:`_preload_enabled`) then reuse them (and ``vgg_params``, ~59 MB)
+    instead of transferring fresh zeros through the tunnel per program.
     """
     import os
+    import threading
     from concurrent.futures import ThreadPoolExecutor
+
+    global _PRELOADED_LOCK
+    if _PRELOADED_LOCK is None:
+        _PRELOADED_LOCK = threading.Lock()
 
     if max_workers is None:
         max_workers = int(os.environ.get("STROTSS_COMPILE_WORKERS", "4"))
@@ -830,10 +869,52 @@ def precompile_scales(
 
     timings: Dict = {}
 
-    def compile_one(key, lo):
+    def throwaway_args(dyn_avals):
+        """Scratch call args for one program-load throwaway: real
+        device-resident arrays where the caller provided them (params,
+        images, masks — all non-donated in run_scale), fresh zeros for
+        the donated state (pyramid/opt/key) and scalars. Every zeros()
+        call makes a DISTINCT buffer: aliasing one buffer into a donated
+        and a non-donated param is an execute-time INVALID_ARGUMENT on
+        this backend."""
+        (p_av, c_av, s_av, prev_av, _isf, _kst, pyr_av, opt_av, _krun,
+         _a_av, _lr_av, cm_av, sm_av, tag_av) = dyn_avals
+        zero = lambda a: np.zeros(a.shape, a.dtype)  # noqa: E731
+        return (
+            vgg_params,
+            content if content is not None else zero(c_av),
+            style if style is not None else zero(s_av),
+            zero(prev_av),
+            np.zeros((), np.bool_),
+            np.zeros((2,), np.uint32),
+            jax.tree.map(zero, pyr_av),
+            jax.tree.map(zero, opt_av),
+            np.zeros((2,), np.uint32),
+            np.float32(1.0),
+            np.float32(cfg.lr),
+            content_masks if cm_av is not None else None,
+            style_masks if sm_av is not None else None,
+            zero(tag_av),
+        )
+
+    def compile_one(key, lo, dyn_avals):
         t0 = time.perf_counter()
         out = lo.compile()
         timings[key]["compile"] = time.perf_counter() - t0
+        if dyn_avals is not None:
+            # force the relay's one-time program load NOW, off the
+            # critical path: one throwaway execution + a small device_get
+            # (block_until_ready returns before the load completes on this
+            # backend; only device_get truly waits). The load then
+            # overlaps the other programs' loads and the coarse scales'
+            # real execution (VERDICT r3 next-round 1b).
+            t0 = time.perf_counter()
+            try:
+                outs = out(*throwaway_args(dyn_avals))
+                jax.device_get(outs[3])  # metrics: (n, 3), tiny
+                timings[key]["load"] = time.perf_counter() - t0
+            except Exception:  # never poison the compile future
+                timings[key]["load"] = -1.0
         return out
 
     # Tracing/lowering is Python/GIL-bound (~1.5 s per scale): keep it
@@ -868,7 +949,20 @@ def precompile_scales(
         except Exception:  # pragma: no cover - belt and braces
             continue
         timings[key] = {"lower": time.perf_counter() - t0}
-        futs[key] = ex.submit(compile_one, key, lo)
+        # one throwaway per program signature per process: repeat
+        # stylizations (bench's measured run, serving loops) must not
+        # re-pay the throwaway's device work on already-loaded programs
+        dyn_avals = None
+        if _preload_enabled():
+            sig = (spec, key, mode, chw, shw,
+                   tuple(content_shape), tuple(style_shape),
+                   None if cmask_avals is None else cmask_avals.shape,
+                   None if smask_avals is None else smask_avals.shape)
+            with _PRELOADED_LOCK:
+                if sig not in _PRELOADED:
+                    _PRELOADED.add(sig)
+                    dyn_avals = args[6:]
+        futs[key] = ex.submit(compile_one, key, lo, dyn_avals)
     ex.shutdown(wait=False)
     return PrecompiledPrograms(futs, timings)
 
@@ -1022,6 +1116,8 @@ def stylize_single(
             )
 
     programs: Dict = {}
+    precompile_seconds = 0.0
+    t_pre = time.perf_counter()
     # gate on the same condition the consumer loop uses (sharded runs
     # never call the AOT programs — precompiling them would pay the full
     # relay compile cost twice)
@@ -1040,7 +1136,12 @@ def stylize_single(
                 min(resume["done_steps"], cfg.max_iter) if resume else 0
             ),
             warm_start=warm,
+            content=content,
+            style=style,
         )
+        # lowering is serial on this thread; the compile RPCs it submitted
+        # are still in flight (threaded) — this phase is ~sum(lower)
+        precompile_seconds = time.perf_counter() - t_pre
 
     alpha = cfg.initial_alpha()
     # warm start: the init image plays scale 0's "previous stylization"
@@ -1228,6 +1329,7 @@ def stylize_single(
     # every program future, but join any straggler explicitly (signature
     # drift, failed compile) — a device_get with a compile RPC still in
     # flight stalls for minutes on this backend.
+    t_fetch = time.perf_counter()
     if hasattr(programs, "wait_all"):
         programs.wait_all()
     for s in info["scales"]:
@@ -1240,6 +1342,17 @@ def stylize_single(
             s["loss_c"] = float(s["curve"][-1, 1])
             s["loss_s"] = float(s["curve"][-1, 2])
 
+    # phase attribution for slow warmups (VERDICT r3 next-round 1a):
+    # precompile_seconds = serial lowering (before the scale loop — NOT
+    # part of info["seconds"]); dispatch_seconds = the scale loop (incl.
+    # per-program compile-future waits and the first_call lower-bound
+    # blocks); fetch_seconds = last dispatch -> final device_get, where
+    # this backend's one-time remote program loads surface (its
+    # block_until_ready returns before loads complete; only device_get
+    # truly waits). bench.py prints all three.
+    info["precompile_seconds"] = precompile_seconds
+    info["dispatch_seconds"] = t_fetch - t_total
+    info["fetch_seconds"] = time.perf_counter() - t_fetch
     info["seconds"] = time.perf_counter() - t_total
     # the final FLOAT stylization (pre-postprocess): postprocess min-max
     # renormalizes before quantizing, so chaining through the uint8 image
