@@ -449,21 +449,33 @@ def stylize_batch(
                     pyramid, opt_state, k_run, fingerprint=fingerprint,
                     extras={"stylized": stylized, "image_u8": imgs_u8},
                 )
-            mblock = np.asarray(jax.device_get(metrics))  # (n, B, 3)
-            curve.append(mblock)
-            batch_mean = mblock.mean(axis=1)  # (n, 3)
-            if progress_cb is not None:
-                for j in range(n):
-                    progress_cb(
-                        scl, done + j + 1, cfg.max_iter,
-                        {"loss": float(batch_mean[j, 0]),
-                         "loss_c": float(batch_mean[j, 1]),
-                         "loss_s": float(batch_mean[j, 2])},
-                    )
+            # same defer-when-no-consumer gate as solve.stylize_single:
+            # with no per-chunk consumer (callbacks/checkpoints), keep the
+            # metric blocks on device and fetch once after the final scale
+            # — scales pipeline on device, and the fetch never races a
+            # compile RPC (a documented minutes-long stall on this
+            # backend). Serve's per-pair losses are read from the
+            # concatenated curve after the run, so serving batches get the
+            # same pipelining (ADVICE r3 #2).
+            defer = progress_cb is None and not cfg.checkpoint_dir
+            if defer:
+                curve.append(metrics)  # device array; fetched after the run
+            else:
+                mblock = np.asarray(jax.device_get(metrics))  # (n, B, 3)
+                curve.append(mblock)
+                batch_mean = mblock.mean(axis=1)  # (n, 3)
+                if progress_cb is not None:
+                    for j in range(n):
+                        progress_cb(
+                            scl, done + j + 1, cfg.max_iter,
+                            {"loss": float(batch_mean[j, 0]),
+                             "loss_c": float(batch_mean[j, 1]),
+                             "loss_s": float(batch_mean[j, 2])},
+                        )
+                last = {"loss": float(batch_mean[-1, 0]),
+                        "loss_c": float(batch_mean[-1, 1]),
+                        "loss_s": float(batch_mean[-1, 2])}
             done += n
-            last = {"loss": float(batch_mean[-1, 0]),
-                    "loss_c": float(batch_mean[-1, 1]),
-                    "loss_s": float(batch_mean[-1, 2])}
 
         if imgs_u8 is None:
             # zero steps ran (resume at a completed chunk boundary): reuse
@@ -483,19 +495,35 @@ def stylize_batch(
                         opt_state, k_run, alpha_t, lr_t, source_tag(),
                     )
                 )
-        jax.block_until_ready(stylized)
+        if not any(not isinstance(c, np.ndarray) for c in curve):
+            # device sync so per-scale seconds are honest; skipped when
+            # deferred — syncing would forfeit the scale pipelining (and
+            # per-scale seconds become dispatch times, as in solve)
+            jax.block_until_ready(stylized)
         final_u8 = imgs_u8
         info["scales"].append(
             {
                 "scale": scl,
                 "alpha": alpha,
                 "seconds": time.perf_counter() - t_scale,
-                "curve": np.concatenate(curve, axis=0)
-                if curve else np.zeros((0, contents.shape[0], 3), np.float32),
+                "curve": curve,
                 **last,
             }
         )
         alpha /= 2.0
+
+    # settle deferred metric fetches (one sync at the end of the run)
+    for s in info["scales"]:
+        cv = [np.asarray(jax.device_get(c)) for c in s["curve"]]
+        s["curve"] = (
+            np.concatenate(cv, axis=0) if cv
+            else np.zeros((0, contents.shape[0], 3), np.float32)
+        )
+        if "loss" not in s and len(s["curve"]):
+            bm = s["curve"].mean(axis=1)  # (n, 3) batch mean
+            s["loss"] = float(bm[-1, 0])
+            s["loss_c"] = float(bm[-1, 1])
+            s["loss_s"] = float(bm[-1, 2])
 
     info["seconds"] = time.perf_counter() - t_total
     # final float stylizations (pre-postprocess) — feed back as
