@@ -117,7 +117,7 @@ def run_reference(content, style, cmasks, smasks, params, scale, steps,
 
 
 def run_ours(content, style, cmasks, smasks, params, scale, steps, lr,
-             sample_size):
+             sample_size, dtype="float32", seed=0):
     import jax.numpy as jnp
 
     from strotss_tpu.config import StrotssConfig
@@ -125,8 +125,11 @@ def run_ours(content, style, cmasks, smasks, params, scale, steps, lr,
 
     cfg = StrotssConfig(
         levels=1, max_iter=steps, log_every=1, lr=lr,
-        sample_size=sample_size, compute_dtype="float32",
-        use_pallas=False, max_size=scale,
+        sample_size=sample_size, compute_dtype=dtype,
+        use_pallas=False, max_size=scale, seed=seed,
+        # seed sweeps re-call stylize_single in one process: the jit
+        # path's in-process executable cache makes runs 2..N compile-free
+        precompile=False,
     )
     traj = []
 
@@ -147,7 +150,21 @@ def main():
     ap.add_argument("--tail", type=int, default=40)
     ap.add_argument("--scale", type=int, default=64)
     ap.add_argument("--sample_size", type=int, default=1024)
+    ap.add_argument("--compute_dtype", type=str, default="float32",
+                    help="our-side compute dtype; the TF reference side is "
+                         "always float32 (it has no bf16 mode)")
+    ap.add_argument("--seeds", type=str, default="0",
+                    help="comma list of our-side PRNG seeds; the two RNG "
+                         "streams differ anyway, so the sweep quantifies "
+                         "the sampling-noise floor of the tail-mean "
+                         "comparison (one process, one compile)")
+    ap.add_argument("--reuse_reference", type=str, default=None,
+                    help="path to a previous parity_masked.json whose "
+                         "reference numbers (same protocol) are reused — "
+                         "the reference trajectory is independent of our "
+                         "seed/dtype, so sweeps skip the slow TF-CPU run")
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     from strotss_tpu.models.weights import random_params
 
@@ -160,21 +177,38 @@ def main():
     sm[1, :, 52:] = 1.0
     alpha, lr = 16.0, 2e-3
 
-    ours = run_ours(content, style, cm, sm, params, args.scale, args.steps,
-                    lr, args.sample_size)
-    ref = run_reference(content, style, cm, sm, params, args.scale,
-                        args.steps, alpha, lr, args.sample_size)
+    prev = None
+    if args.reuse_reference:
+        with open(args.reuse_reference) as f:
+            prev = json.load(f)
+        assert prev["steps"] == args.steps and prev["tail"] == args.tail, (
+            "reference report protocol mismatch")
+        ref = None
+    else:
+        ref = run_reference(content, style, cm, sm, params, args.scale,
+                            args.steps, alpha, lr, args.sample_size)
 
-    report = {"steps": args.steps, "tail": args.tail, "masked": True}
-    for idx, name in enumerate(["loss", "loss_c", "loss_s"]):
-        r = float(ref[-args.tail:, idx].mean())
-        o = float(ours[-args.tail:, idx].mean())
-        report[name] = {"reference": r, "ours": o,
-                        "rel_diff": abs(o - r) / max(abs(r), 1e-9)}
-    out = os.path.join(HERE, "..", "tests", "golden", "parity_masked.json")
-    with open(out, "w") as f:
-        json.dump(report, f, indent=2)
-    print(json.dumps(report, indent=2))
+    for seed in seeds:
+        ours = run_ours(content, style, cm, sm, params, args.scale,
+                        args.steps, lr, args.sample_size,
+                        args.compute_dtype, seed)
+        report = {"steps": args.steps, "tail": args.tail, "masked": True,
+                  "ours_dtype": args.compute_dtype, "seed": seed}
+        for idx, name in enumerate(["loss", "loss_c", "loss_s"]):
+            r = (prev[name]["reference"] if prev is not None
+                 else float(ref[-args.tail:, idx].mean()))
+            o = float(ours[-args.tail:, idx].mean())
+            report[name] = {"reference": r, "ours": o,
+                            "rel_diff": abs(o - r) / max(abs(r), 1e-9)}
+        suffix = ("" if args.compute_dtype == "float32"
+                  else f"_{args.compute_dtype}")
+        if seed:
+            suffix += f"_seed{seed}"  # keep the canonical report pristine
+        out = os.path.join(HERE, "..", "tests", "golden",
+                           f"parity_masked{suffix}.json")
+        with open(out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":
