@@ -139,10 +139,16 @@ def main():
     for mode in ("none", "ordered", "unordered"):
         taps_seen.clear()
         try:
+            print(f"# mode={mode}: compiling + first execution (program "
+                  "load happens here)...", file=sys.stderr, flush=True)
+            t_warm = time.perf_counter()
             chunk = make_chunk(mode)
             state = (pyramid, opt_state, key)
             out = chunk(*state)
             sync(out[0])
+            print(f"# mode={mode}: warm in "
+                  f"{time.perf_counter() - t_warm:.1f}s; timing...",
+                  file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 out = chunk(*out[0])
