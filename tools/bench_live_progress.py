@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--modes", type=str, default="none,ordered,unordered",
+                    help="comma list; run one mode per process when a mode "
+                         "can hang (a stalled callback program would "
+                         "otherwise eat the other modes' budget)")
+    ap.add_argument("--base_ms", type=float, default=None,
+                    help="baseline step_ms from a previous mode=none run "
+                         "(for overhead_pct in single-mode processes)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir",
@@ -135,8 +142,8 @@ def main():
 
     report = {"scale": args.scale, "dtype": args.dtype,
               "steps_per_chunk": n, "reps": args.reps}
-    base_ms = None
-    for mode in ("none", "ordered", "unordered"):
+    base_ms = args.base_ms
+    for mode in [m.strip() for m in args.modes.split(",") if m.strip()]:
         taps_seen.clear()
         try:
             print(f"# mode={mode}: compiling + first execution (program "
