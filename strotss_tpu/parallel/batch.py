@@ -19,6 +19,11 @@ Composition (round-2 capabilities):
   feature matrices additionally get 'sample'-axis sharding constraints, so
   each pair's N² transport losses are partitioned over the sample axis
   while pairs spread over 'data' (GSPMD inserts the collectives).
+- **per-pair alpha + keys** (round 4): ``alphas=(B,)`` style strengths and
+  ``pair_keys=(B,)`` base PRNG keys ride the pair axis — heterogeneous
+  jobs batch in ONE program (alpha only enters the loss scalarization),
+  and a job keyed by its own seed gets the same trajectory batched or
+  single, at any batch position (scheduler-invariant serving).
 
 All images in a batch share one shape bucket (pad/resize on the host
 first). The chunk runner is one module-level jit (static spec + mesh), so
@@ -27,6 +32,7 @@ repeated batches of the same bucket reuse the compile cache.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from functools import partial
 from typing import Dict, List, Optional, Tuple
@@ -171,8 +177,13 @@ def run_chunk_batch(
     runs. ``key`` is a (B, 2) stack of per-pair keys, each split per step
     exactly like ``solve.run_chunk``'s single key — so pair b's trajectory
     is bit-for-bit the trajectory of a single run seeded with ``key[b]``
-    (tests/test_parallel.py::test_batched_matches_single_runs). Reference
-    semantics: B independent ``run()`` calls (``run_strotss.py:43-161``).
+    (tests/test_parallel.py::test_batched_matches_single_runs). ``alpha``
+    is a (B,) per-pair stack for the same reason: it only enters the loss
+    scalarization (``α·L_c + L_s`` weighting, palette weight, denom), so
+    pair b optimizes under exactly ``alpha[b]`` — heterogeneous style
+    strengths batch together in ONE program (uniform batches pass a
+    broadcast vector; same program either way). Reference semantics: B
+    independent ``run()`` calls (``run_strotss.py:43-161``).
     """
     opt = make_optimizer(lr)
     style_moments = jax.vmap(
@@ -181,9 +192,9 @@ def run_chunk_batch(
         )
     )(style_targets)
 
-    def per_pair(cf, pf, target, tmom, cmask, valid, k):
+    def per_pair(cf, pf, target, tmom, cmask, valid, a, k):
         loss, (lc, ls) = _step_losses(
-            spec, cf, pf, target, cmask, alpha, k,
+            spec, cf, pf, target, cmask, a, k,
             region_valid=valid,
             mesh=mesh if spec.shard_samples else None,
             style_moments=tmom,
@@ -197,10 +208,10 @@ def run_chunk_batch(
         in_axes = (0, 0, 0, 0,
                    None if content_masks is None else 0,
                    None if region_valid is None else 0,
-                   0)
+                   0, 0)
         losses, lcs, lss = jax.vmap(per_pair, in_axes=in_axes)(
             content_feats, pred, style_targets, style_moments,
-            content_masks, region_valid, keys,
+            content_masks, region_valid, alpha, keys,
         )
         return jnp.sum(losses), jnp.stack([losses, lcs, lss], axis=-1)
 
@@ -239,6 +250,8 @@ def stylize_batch(
     key: Optional[jax.Array] = None,
     progress_cb=None,
     init_images: Optional[jnp.ndarray] = None,
+    alphas=None,
+    pair_keys: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Coarse-to-fine stylization of B pairs at once.
 
@@ -251,13 +264,21 @@ def stylize_batch(
     ``init_images``: optional (B, H, W, 3) warm starts — pair ``b``'s first
     scale seeds from ``init_images[b]`` exactly like
     ``stylize(init_image=...)`` (B parallel video streams advance one
-    frame per batch at batched throughput). Returns ((B,H',W',3) uint8,
-    info).
+    frame per batch at batched throughput). ``alphas``: optional (B,)
+    per-pair style-strength values (the CLI-level ``--alpha``; each is
+    rescaled like ``cfg.initial_alpha`` and halved per scale) — a batch
+    can mix style strengths, or sweep one pair over B alphas in a single
+    batched run. ``pair_keys``: optional (B,) stack of per-pair base PRNG
+    keys (either flavor) replacing the ``fold_in`` derivation — pass each
+    job's own key and a job's trajectory becomes independent of how the
+    scheduler grouped it. Returns ((B,H',W',3) uint8, info).
 
     **Equivalence contract**: pair ``b``'s optimization trajectory equals a
-    ``stylize_single`` run with ``key=jax.random.fold_in(key, b)`` to float
-    tolerance — the batched loss is the per-pair SUM (exact per-pair grads)
-    and every pair carries its own key stream (see ``run_chunk_batch``).
+    ``stylize_single`` run with ``key=pair_keys[b]`` (default:
+    ``jax.random.fold_in(key, b)``) and ``cfg.alpha=alphas[b]`` to float
+    tolerance — the batched loss is the per-pair SUM (exact per-pair
+    grads), every pair carries its own key stream, and alpha enters only
+    per-pair (see ``run_chunk_batch``).
     """
     from strotss_tpu.validation import check_image, check_masks
 
@@ -310,11 +331,29 @@ def stylize_batch(
     if use_mask and region_valid is None:
         region_valid = jnp.ones(content_masks.shape[:2], jnp.float32)
     spec = spec_from_config(cfg, masked=use_mask, batched=True)
-    # per-pair base keys: pair b's whole stream matches
-    # stylize_single(key=fold_in(key, b))
-    pair_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
-        jnp.arange(contents.shape[0])
-    )
+    B = int(contents.shape[0])
+    if pair_keys is None:
+        # per-pair base keys: pair b's whole stream matches
+        # stylize_single(key=fold_in(key, b))
+        pair_keys = jax.vmap(lambda b: jax.random.fold_in(key, b))(
+            jnp.arange(B)
+        )
+    else:
+        pair_keys = jnp.stack([normalize_key(k) for k in pair_keys])
+        if pair_keys.shape[0] != B:
+            raise ValueError(
+                f"pair_keys has batch dim {pair_keys.shape[0]}, expected "
+                f"{B} (one base key per pair)"
+            )
+    if alphas is not None:
+        alphas = np.asarray(alphas, np.float64)
+        if alphas.shape != (B,):
+            raise ValueError(
+                f"alphas must be one value per pair, shape ({B},); got "
+                f"{alphas.shape}"
+            )
+        if not np.all(np.isfinite(alphas)):
+            raise ValueError("alphas must be finite")
 
     from strotss_tpu.ops.image import cap_max, resize_bilinear
 
@@ -369,6 +408,8 @@ def stylize_batch(
         fingerprint["warm_start"] = True
     if cfg.start_level:
         fingerprint["start_level"] = cfg.start_level  # same contract
+    if alphas is not None:
+        fingerprint["alphas"] = [float(a) for a in alphas]
     resume = ckpt.load_meta(cfg.checkpoint_dir)
     if resume is not None:
         ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)
@@ -379,7 +420,14 @@ def stylize_batch(
                 "directory to start fresh."
             )
 
-    alpha = cfg.initial_alpha()
+    # per-pair alpha vector through the whole schedule (uniform batches
+    # carry a broadcast of cfg.initial_alpha() — same program either way)
+    if alphas is None:
+        alpha = np.full(B, cfg.initial_alpha(), np.float64)
+    else:
+        alpha = np.asarray(
+            [dataclasses.replace(cfg, alpha=float(a)).initial_alpha()
+             for a in alphas], np.float64)
     # warm start: the inits play scale 0's "previous stylization"
     stylized = init_images if warm else None
     final_u8 = None
@@ -426,7 +474,10 @@ def stylize_batch(
             pyramid, opt_state, k_run = ckpt.restore_state(
                 cfg.checkpoint_dir, (pyramid, opt_state, k_run)
             )
-            alpha = resume["alpha"]
+            # scalar in legacy/uniform checkpoints, per-pair list otherwise
+            alpha = np.broadcast_to(
+                np.asarray(resume["alpha"], np.float64), (B,)
+            ).copy()
             done = min(resume["done_steps"], cfg.max_iter)
             resume = None
 
@@ -504,7 +555,10 @@ def stylize_batch(
         info["scales"].append(
             {
                 "scale": scl,
-                "alpha": alpha,
+                # float for uniform batches (back-compat), per-pair list
+                # under heterogeneous ``alphas``
+                "alpha": (float(alpha[0]) if np.all(alpha == alpha[0])
+                          else [float(a) for a in alpha]),
                 "seconds": time.perf_counter() - t_scale,
                 "curve": curve,
                 **last,

@@ -33,13 +33,18 @@ A failing job (missing file, bad mask pairing, corrupt image) emits
 ``{"ok": false, "error": ...}`` and the loop continues — a serving
 process must not die on one bad job.
 
-Batching: with ``--batch N`` consecutive unmasked, override-free jobs
-whose loaded shapes match are grouped through ``stylize_batch`` (B
-pairs per program; per-pair EXACT — each trajectory equals its single
-run, see ``parallel/batch.py``), which amortizes to ~3.75 s/image at
-B=8 on one chip. A full batch runs the moment it fills; a batch that
-fails (one bad input) is retried job-by-job so its good members still
-complete.
+Batching: with ``--batch N`` consecutive unmasked jobs whose loaded
+shapes match are grouped through ``stylize_batch`` (B pairs per
+program; per-pair EXACT — each trajectory equals its single run, see
+``parallel/batch.py``), which amortizes to ~3.75 s/image at B=8 on one
+chip. Per-job ``alpha`` and ``seed`` ride the pair axis (one program
+regardless), so heterogeneous style strengths/seeds batch at full
+throughput — and because each pair's base key is the single path's
+``PRNGKey(seed)``, a job's result is independent of whether the
+scheduler batched it or where in the group it landed. Only masks and
+``start_level`` opt a job out of batching. A full batch runs the
+moment it fills; a batch that fails (one bad input) is retried
+job-by-job so its good members still complete.
 
 Warmup: ``--warmup HxW[:HxW]`` (repeatable; content[:style] on-disk
 sizes) pays each shape bucket's one-time compile + remote program load
@@ -206,8 +211,12 @@ def _run_single(args, job: Dict, vgg_params) -> Dict:
 
 
 def _batchable(job: Dict) -> bool:
-    # batched pairs share one config; per-job overrides and masks opt
-    # out. Warm-start jobs batch with other warm jobs (the shape sig
+    # batched pairs share one config; masks and program-shaping overrides
+    # (start_level changes which scales run) opt out. ``alpha`` and
+    # ``seed`` do NOT opt out: both ride the pair axis
+    # (stylize_batch(alphas=..., pair_keys=...)), so heterogeneous
+    # style-strength/seed jobs batch at full throughput.
+    # Warm-start jobs batch with other warm jobs (the shape sig
     # keeps groups warm/cold homogeneous): B parallel video streams
     # advance one frame per batch at batched throughput. A chain WITHIN
     # one stream is kept sequential by the main loop's dependency flush
@@ -216,14 +225,15 @@ def _batchable(job: Dict) -> bool:
     # emitted, file missing) fails that group's load and the
     # retry-singly path runs the frames in order.
     return not any(k in job for k in
-                   ("content_mask", "style_mask", "alpha", "seed",
-                    "start_level"))
+                   ("content_mask", "style_mask", "start_level"))
 
 
 def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
+    import jax
     import jax.numpy as jnp
 
     from strotss_tpu.parallel.batch import stylize_batch
+    from strotss_tpu.solve import normalize_key
     from strotss_tpu.utils.io import write_image
 
     contents, styles, inits = [], [], []
@@ -233,6 +243,16 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
         styles.append(s)
         if init is not None:
             inits.append(init)
+    # per-pair alpha/seed: each job runs under ITS OWN values inside the
+    # one batched program, and each pair's base key is exactly the single
+    # path's PRNGKey(seed) — a job's result is a pure function of the job
+    # (content, style, config, seed), independent of whether the scheduler
+    # batched it or where in the group it landed (scheduler invariance).
+    alphas = [float(job.get("alpha", args.alpha)) for job in jobs]
+    pair_keys = jnp.stack([
+        normalize_key(jax.random.PRNGKey(int(job.get("seed", args.seed))))
+        for job in jobs
+    ])
     if inits and len(inits) != len(jobs):  # pragma: no cover - sig guard
         raise ValueError("warm and cold jobs cannot share a batch group")
     if inits:
@@ -248,19 +268,22 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
         from strotss_tpu.solve import warm_init_hw
 
         chw0 = warm_init_hw(contents[0].shape[1], contents[0].shape[2],
-                            _config(args, jobs[0]))
+                            _config(args, {}))
         inits = [resize_bilinear(init, chw0) for init in inits]
     # NamedSharding needs the pair axis divisible by the mesh's data axis;
     # undersized groups (end-of-stream flushes) run unsharded
     if mesh is not None and len(jobs) % mesh.shape["data"] != 0:
         mesh = None
     t0 = time.perf_counter()
+    # cfg from the CLI flags alone: the per-job knobs (alpha, seed) ride
+    # the pair axis above, and non-batchable overrides never reach here
     imgs, info = stylize_batch(jnp.concatenate(contents),
                                jnp.concatenate(styles),
-                               _config(args, jobs[0]), vgg_params=vgg_params,
+                               _config(args, {}), vgg_params=vgg_params,
                                mesh=mesh,
                                init_images=(jnp.concatenate(inits)
-                                            if inits else None))
+                                            if inits else None),
+                               alphas=alphas, pair_keys=pair_keys)
     per = round((time.perf_counter() - t0) / len(jobs), 3)
     # final-scale curve is (n_steps, B, 3): per-pair final losses
     scales = info.get("scales") or []

@@ -110,7 +110,10 @@ def save_state(
     meta = {
         "scale_index": int(scale_index),
         "done_steps": int(done_steps),
-        "alpha": float(alpha),
+        # scalar (single / uniform batch) or per-pair list (batched runs
+        # with heterogeneous alphas) — both JSON-native
+        "alpha": (float(alpha) if np.ndim(alpha) == 0
+                  else [float(a) for a in np.asarray(alpha)]),
         "n_leaves": len(leaves),
         "structure": structure_digest(state),
         "fingerprint": fingerprint,

@@ -64,18 +64,28 @@ def test_serve_singles_and_bad_jobs(tmp_path, rng):
 @pytest.mark.slow
 def test_serve_batch_groups_same_shape_jobs(tmp_path, rng):
     cp, sp = _write_inputs(tmp_path, rng)
-    outs = [str(tmp_path / f"b{i}.jpg") for i in range(3)]
+    outs = [str(tmp_path / f"b{i}.jpg") for i in range(4)]
     results = _serve(tmp_path, [
         {"content": cp, "style": sp, "output": outs[0]},
-        {"content": cp, "style": sp, "output": outs[1]},
-        # masked/overridden jobs opt out of batching -> runs single
-        {"content": cp, "style": sp, "output": outs[2], "alpha": 8.0},
+        # alpha rides the pair axis (round 4): an alpha override BATCHES
+        {"content": cp, "style": sp, "output": outs[1], "alpha": 8.0},
+        {"content": cp, "style": sp, "output": outs[2]},
+        # program-shaping overrides still opt out -> flushes the pending
+        # group (here size 1 -> runs single) and runs single itself
+        {"content": cp, "style": sp, "output": outs[3], "start_level": 0},
     ], extra=("--batch", "2"))
-    assert [r["ok"] for r in results] == [True, True, True]
+    assert [r["ok"] for r in results] == [True, True, True, True]
     assert results[0].get("batched") == 2 and results[1].get("batched") == 2
-    assert "batched" not in results[2]
+    assert "batched" not in results[2] and "batched" not in results[3]
     for o in outs:
         assert os.path.exists(o)
+    # the per-pair alpha is live INSIDE the batch: same content/style/seed,
+    # different alpha -> different stylizations
+    from PIL import Image
+
+    a = np.asarray(Image.open(outs[0])).astype(int)
+    b = np.asarray(Image.open(outs[1])).astype(int)
+    assert np.abs(a - b).max() > 0
 
 
 @pytest.mark.slow
@@ -482,13 +492,15 @@ def test_serve_batched_warm_start_matches_single_when_shapes_differ(
         tmp_path, rng):
     """VERDICT r3 weak #2: a batched warm job whose init shape differs
     from the content shape must follow the SAME trajectory as a single
-    warm run with that pair's key (``fold_in(key, b)`` — the batched
-    equivalence contract, tests/test_parallel.py). Serve's batched
+    warm run with that JOB's key (``PRNGKey(seed)`` — serve passes
+    per-pair keys, so a job's trajectory is independent of batching;
+    round 4). Serve's batched
     stacking path must resize each init once, directly to the first
     executed scale's chw (solve.warm_init_hw) — the old detour through
     the content shape composed two bilinear resamples and silently
     deviated exactly this case (a chained video frame whose previous
-    output's shape != the content's)."""
+    output's shape != the content's). Job 1 carries an explicit seed
+    override — which no longer opts it out of batching."""
     import jax
 
     from strotss_tpu.config import StrotssConfig
@@ -507,24 +519,25 @@ def test_serve_batched_warm_start_matches_single_when_shapes_differ(
     # outputs as PNG: lossless round-trip, so the comparison sees the
     # solver's pixels, not JPEG noise
     batched = [str(tmp_path / f"wb{i}.png") for i in range(2)]
+    seeds = [0, 5]
     rb = _serve(tmp_path, [
-        {"content": cp, "style": sp, "output": batched[i], "init": inits[i]}
+        {"content": cp, "style": sp, "output": batched[i], "init": inits[i],
+         **({"seed": seeds[i]} if seeds[i] else {})}
         for i in range(2)
     ], extra=("--batch", "2"))
     assert [r.get("batched") for r in rb] == [2, 2]
     # the library single runs serve's batched path promises to equal:
     # same config serve builds (level 1, 2 iters, f32, one tap,
-    # log_every=max_iter, precompile off), per-pair key fold_in(key, b)
+    # log_every=max_iter, precompile off), per-pair key PRNGKey(job seed)
     cfg = StrotssConfig(
         levels=1, max_iter=2, log_every=2, compute_dtype="float32",
         use_pallas=False, taps=("block1_conv1",), precompile=False,
     )
     params = load_vgg_params("16", False)
-    key = jax.random.PRNGKey(cfg.seed)
     for i in range(2):
         img_s, _ = stylize_single(
             load_image(cp), load_image(sp), cfg, params,
-            key=jax.random.fold_in(key, i),
+            key=jax.random.PRNGKey(seeds[i]),
             init_image=load_image(inits[i]),
         )
         a = np.asarray(Image.open(batched[i])).astype(np.int16)

@@ -79,7 +79,11 @@ def main():
     cmd = [sys.executable, "-u", "-m", "strotss_tpu.serve",
            "--jobs", "-", "--batch", str(M),
            "--max_iter", str(args.max_iter)]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND to PYTHONPATH — replacing it would drop this environment's
+    # sitecustomize dir (where the TPU backend plugin registers) and the
+    # serve subprocess would silently fall back to CPU
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.perf_counter()
     proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                             stdout=subprocess.PIPE, text=True, env=env,

@@ -122,7 +122,7 @@ def batch_report(batch: int, params) -> dict:
         spec, cfg.log_every, None,
         jax.tree.map(lambda a: aval(a.shape, a.dtype), params),
         content_feats, style_targets, None, None, pyramid, opt_state,
-        aval((batch, 2), jnp.uint32), aval((), jnp.float32),
+        aval((batch, 2), jnp.uint32), aval((batch,), jnp.float32),
         aval((), jnp.float32), aval((_SRC_TAG_DIM,), jnp.float32),
     ).lower()
     ma = lo.compile().memory_analysis()
