@@ -332,6 +332,7 @@ def stylize_batch(
         region_valid = jnp.ones(content_masks.shape[:2], jnp.float32)
     spec = spec_from_config(cfg, masked=use_mask, batched=True)
     B = int(contents.shape[0])
+    explicit_pair_keys = pair_keys is not None
     if pair_keys is None:
         # per-pair base keys: pair b's whole stream matches
         # stylize_single(key=fold_in(key, b))
@@ -340,10 +341,17 @@ def stylize_batch(
         )
     else:
         pair_keys = jnp.stack([normalize_key(k) for k in pair_keys])
-        if pair_keys.shape[0] != B:
+        # full-shape check, not just the batch dim: one raw (2,)-uint32
+        # key passed where a LIST of per-pair keys belongs stacks to
+        # shape (2,) — at B=2 a batch-dim-only check passes and the
+        # mistake surfaces as an opaque trace-time shape error inside
+        # fold_in instead of here at the API boundary
+        if pair_keys.shape != (B, 2):
             raise ValueError(
-                f"pair_keys has batch dim {pair_keys.shape[0]}, expected "
-                f"{B} (one base key per pair)"
+                f"pair_keys must be {B} per-pair PRNG keys (stacked "
+                f"shape ({B}, 2)); got {pair_keys.shape} — passing a "
+                "single key instead of one key per pair is the usual "
+                "cause"
             )
     if alphas is not None:
         alphas = np.asarray(alphas, np.float64)
@@ -410,6 +418,14 @@ def stylize_batch(
         fingerprint["start_level"] = cfg.start_level  # same contract
     if alphas is not None:
         fingerprint["alphas"] = [float(a) for a in alphas]
+    if explicit_pair_keys:
+        # same reasoning as alphas: explicit per-pair keys steer every
+        # scale's k_style/k_run — resuming a checkpointed batched run
+        # with different pair_keys must be a fingerprint error, not a
+        # silent trajectory divergence (the cfg.seed analogue already is)
+        fingerprint["pair_keys"] = (
+            np.asarray(pair_keys).astype(np.uint32).tolist()
+        )
     resume = ckpt.load_meta(cfg.checkpoint_dir)
     if resume is not None:
         ckpt.check_fingerprint(resume, fingerprint, cfg.checkpoint_dir)

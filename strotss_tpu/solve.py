@@ -819,6 +819,7 @@ def precompile_scales(
     warm_start: bool = False,
     content=None,
     style=None,
+    preload: bool = False,
 ) -> PrecompiledPrograms:
     """AOT-compile every per-scale program, overlapping the slow compiles.
 
@@ -840,6 +841,15 @@ def precompile_scales(
     caller has them — the program-load throwaways (see
     :func:`_preload_enabled`) then reuse them (and ``vgg_params``, ~59 MB)
     instead of transferring fresh zeros through the tunnel per program.
+
+    ``preload``: opt-in to the program-load throwaway executions. Only
+    callers that will EXECUTE the programs (``stylize_single``) should
+    pass True — analysis tools (``tools/mem_report.py``,
+    ``tools/bench_aot_cache.py``) compile programs they never intend to
+    run, some of which may OOM at execute time (mem_report probes the
+    capacity boundary on purpose), so executing a throwaway there would
+    burn device minutes or wedge the backend. ``STROTSS_PRELOAD=0``
+    still force-disables it for opted-in callers.
     """
     import os
     import threading
@@ -953,8 +963,12 @@ def precompile_scales(
         # stylizations (bench's measured run, serving loops) must not
         # re-pay the throwaway's device work on already-loaded programs
         dyn_avals = None
-        if _preload_enabled():
-            sig = (spec, key, mode, chw, shw,
+        if preload and _preload_enabled():
+            # cfg.pyramid_levels shapes the pyr/opt avals — two configs
+            # differing only in it are distinct compiled programs and must
+            # not collide in _PRELOADED (the second would silently skip
+            # its preload and pay the load on its first real call)
+            sig = (spec, key, mode, chw, shw, cfg.pyramid_levels,
                    tuple(content_shape), tuple(style_shape),
                    None if cmask_avals is None else cmask_avals.shape,
                    None if smask_avals is None else smask_avals.shape)
@@ -1138,6 +1152,7 @@ def stylize_single(
             warm_start=warm,
             content=content,
             style=style,
+            preload=True,
         )
         # lowering is serial on this thread; the compile RPCs it submitted
         # are still in flight (threaded) — this phase is ~sum(lower)

@@ -204,6 +204,62 @@ def test_batched_per_pair_alpha_and_keys_match_singles(rng):
         assert diff.max() <= 1, f"pair {b} image diverged (max {diff.max()})"
 
 
+def test_pair_keys_single_key_rejected(rng):
+    """Passing ONE raw (2,)-uint32 key where a list of per-pair keys
+    belongs must fail loudly at the API boundary — at B=2 the stacked
+    shape (2,) used to pass a batch-dim-only check and surface as an
+    opaque trace-time shape error inside fold_in."""
+    import jax
+
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.parallel.batch import stylize_batch
+
+    contents = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    styles = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    cfg = StrotssConfig(
+        levels=1, max_iter=2, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+        precompile=False,
+    )
+    params = random_params("16", 0)
+    with pytest.raises(ValueError, match="one key per pair"):
+        stylize_batch(contents, styles, cfg, params,
+                      pair_keys=jax.random.PRNGKey(7))
+
+
+@pytest.mark.slow
+def test_batched_resume_with_different_pair_keys_refused(rng, tmp_path):
+    """Explicit per-pair keys are part of the checkpoint fingerprint:
+    resuming a batched run under different pair_keys must be an error,
+    not a silent trajectory divergence (every later scale derives its
+    k_style/k_run from them — same contract as cfg.seed and alphas)."""
+    import jax
+
+    from strotss_tpu.config import StrotssConfig
+    from strotss_tpu.models.weights import random_params
+    from strotss_tpu.parallel.batch import stylize_batch
+
+    contents = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    styles = jnp.asarray(rng.random((2, 40, 40, 3)), jnp.float32)
+    cfg = StrotssConfig(
+        levels=1, max_iter=2, log_every=2, sample_size=32,
+        compute_dtype="float32", use_pallas=False, taps=("block1_conv1",),
+        precompile=False, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    params = random_params("16", 0)
+    keys = [jax.random.PRNGKey(3), jax.random.PRNGKey(11)]
+    stylize_batch(contents, styles, cfg, params, pair_keys=keys)
+    with pytest.raises(ValueError, match="pair_keys"):
+        stylize_batch(
+            contents, styles, cfg, params,
+            pair_keys=[jax.random.PRNGKey(11), jax.random.PRNGKey(3)],
+        )
+    # the original keys still resume cleanly (bit-exact replay)
+    out2, _ = stylize_batch(contents, styles, cfg, params, pair_keys=keys)
+    assert out2.shape[0] == 2
+
+
 @pytest.mark.slow
 def test_shard_samples_matches_unsharded(rng):
     """cfg.shard_samples partitions the transport losses over the mesh's

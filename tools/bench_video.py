@@ -116,7 +116,12 @@ def main():
                                     if s_per_frame_image else None),
         "batched_cold_floor_s_per_image": 3.75,
         "per_frame_s_per_image": per_frame,
-        "batched_counts": sorted({r.get("batched") for r in results}),
+        # a group that failed batched and was retried job-by-job reports
+        # no "batched" key — surface those as 0 rather than crashing the
+        # report on a None<int comparison after the whole on-chip run
+        "batched_counts": sorted(
+            {r.get("batched") or 0 for r in results}
+        ),
     }
     with open(args.out, "w") as fobj:
         json.dump(report, fobj, indent=2)

@@ -181,8 +181,17 @@ def main():
     if args.reuse_reference:
         with open(args.reuse_reference) as f:
             prev = json.load(f)
-        assert prev["steps"] == args.steps and prev["tail"] == args.tail, (
-            "reference report protocol mismatch")
+        # the FULL protocol must match, not just steps/tail — a reference
+        # recorded at another scale/sample_size would silently yield
+        # bogus rel_diff numbers written into tests/golden/. Older
+        # reports predate the scale/sample_size fields; .get() pins them
+        # to the protocol defaults they were all recorded at.
+        assert (
+            prev["steps"] == args.steps
+            and prev["tail"] == args.tail
+            and prev.get("scale", 64) == args.scale
+            and prev.get("sample_size", 1024) == args.sample_size
+        ), "reference report protocol mismatch"
         ref = None
     else:
         ref = run_reference(content, style, cm, sm, params, args.scale,
@@ -193,6 +202,7 @@ def main():
                         args.steps, lr, args.sample_size,
                         args.compute_dtype, seed)
         report = {"steps": args.steps, "tail": args.tail, "masked": True,
+                  "scale": args.scale, "sample_size": args.sample_size,
                   "ours_dtype": args.compute_dtype, "seed": seed}
         for idx, name in enumerate(["loss", "loss_c", "loss_s"]):
             r = (prev[name]["reference"] if prev is not None
