@@ -24,6 +24,7 @@ def stylize(
     snapshot_cb=None,
     mesh=None,
     init_image: Optional[jnp.ndarray] = None,
+    style_weights=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Stylize ``content`` with ``style`` (both (1,H,W,3) float in [0,1]).
 
@@ -38,11 +39,20 @@ def stylize(
     resolution; it is resized to the content's). Feed a finished result
     back in to refine it, or the previous frame's output for
     frame-coherent video stylization.
+    ``style`` may be a list/tuple of style images with ``style_weights``
+    (one weight per style): multi-style blending — the style target is a
+    weighted mixture of full-grid samples from each style (see
+    :func:`strotss_tpu.solve.style_sample_counts`). Weights of 0 drop
+    their style exactly; incompatible with region masks.
     """
     from strotss_tpu.validation import check_image, check_masks
 
     check_image("content", content)
-    check_image("style", style)
+    if isinstance(style, (list, tuple)):
+        for i, s in enumerate(style):
+            check_image(f"style[{i}]", s)
+    else:
+        check_image("style", style)
     if init_image is not None:
         check_image("init_image", init_image)
     check_masks(content_masks, style_masks)
@@ -61,4 +71,5 @@ def stylize(
         snapshot_cb=snapshot_cb,
         mesh=mesh,
         init_image=init_image,
+        style_weights=style_weights,
     )

@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "pass (jax.checkpoint): ~3x less activation "
                              "memory for ~1 extra forward — enables "
                              "resolutions past the single-chip ceiling")
+    parser.add_argument("--style2", type=str, default=None,
+                        help="second style image: blend two styles — the "
+                             "style target mixes full-grid samples from "
+                             "both in proportion to --style_blend")
+    parser.add_argument("--style_blend", type=float, default=0.5,
+                        help="weight of --style2 in [0,1] (style_path gets "
+                             "1-w). 0 or 1 reduce exactly to the "
+                             "single-style run of the surviving style")
     parser.add_argument("--start_level", type=int, default=0,
                         help="skip the coarsest N scales (alpha still "
                              "halves per skipped scale). With --init this "
@@ -176,6 +184,19 @@ def main(argv=None) -> int:
 
     content = load_image(args.content_path, max_size=args.max_size)
     style = load_image(args.style_path, max_size=args.max_size)
+    style_weights = None
+    if args.style2:
+        if not 0.0 <= args.style_blend <= 1.0:
+            raise ValueError(
+                f"--style_blend must be in [0, 1], got {args.style_blend}"
+            )
+        style2 = load_image(args.style2, max_size=args.max_size)
+        style = [style, style2]
+        style_weights = [1.0 - args.style_blend, args.style_blend]
+        logger.info(
+            f"Blending styles: {args.style_path} ({style_weights[0]:.2f}) + "
+            f"{args.style2} ({style_weights[1]:.2f})."
+        )
     init_image = None
     if args.init:
         init_image = load_image(args.init, max_size=args.max_size)
@@ -241,6 +262,7 @@ def main(argv=None) -> int:
         progress_cb=progress,
         snapshot_cb=snapshot,
         init_image=init_image,
+        style_weights=style_weights,
     )
 
     if cfg.profile_dir:

@@ -249,14 +249,37 @@ def warm_init_hw(content_h: int, content_w: int,
                          cfg.scale_sizes()[cfg.start_level])
 
 
-def _scale_seed(mode: str, chw, shw, levels: int, content, style, prev):
+def _scale_seed(mode: str, chw, shw, levels: int, content, style, prev,
+                style_weights=None):
     """Per-scale init math (run_strotss.py:74-89): resize inputs, build the
-    Laplacian seed, split into pyramid variables."""
+    Laplacian seed, split into pyramid variables.
+
+    Multi-style blending: ``style`` may be a TUPLE of (1,H,W,3) images with
+    a matching tuple ``shw`` of per-style target shapes and a traced (S,)
+    ``style_weights`` vector; the first scale's mean-color seed then uses
+    the weight-blended mean (``run_strotss.py:76-79`` generalized), and
+    ``scl_s`` is the tuple of per-style resizes."""
     scl_c = resize_bilinear(content, chw)
-    scl_s = resize_bilinear(style, shw)
+    if isinstance(style, tuple):
+        scl_s = tuple(
+            resize_bilinear(s, hw) for s, hw in zip(style, shw)
+        )
+    else:
+        scl_s = resize_bilinear(style, shw)
     lap = make_laplacian(scl_c)
     if mode == "first":
-        sty = lap + jnp.mean(scl_s, axis=(1, 2), keepdims=True)
+        # mean color computed only in this branch: tracing it in mid/last
+        # would add dead ops to the jaxpr and shift the persistent
+        # compile-cache key of every existing mid/last program
+        if isinstance(scl_s, tuple):
+            w = style_weights / jnp.sum(style_weights)
+            mean_color = sum(
+                w[i] * jnp.mean(s, axis=(1, 2), keepdims=True)
+                for i, s in enumerate(scl_s)
+            )
+        else:
+            mean_color = jnp.mean(scl_s, axis=(1, 2), keepdims=True)
+        sty = lap + mean_color
     elif mode == "mid":
         sty = resize_bilinear(prev, chw) + lap
     else:
@@ -313,6 +336,53 @@ def _style_targets_j(spec: StepSpec, key, style_feats, style_masks=None,
     return _sample_style_targets(spec, key, style_feats, style_masks, shw)
 
 
+def style_sample_counts(style_weights, sample_size: int) -> Tuple[int, ...]:
+    """Host-side largest-remainder apportionment of ``sample_size`` style
+    samples among blended styles.
+
+    Multi-style blending draws ``n_i`` full-grid style samples from style
+    ``i`` proportional to its weight and concatenates the rows into the
+    usual (sample_size, C) style target, so the whole loss stack (REMD,
+    moments, palette — ``run_strotss.py:27-41``) is unchanged and sees a
+    weighted MIXTURE of the styles. Counts must be static (they size the
+    per-style gathers), so the apportionment runs on host: floor each
+    ``w_i * n``, then hand the remaining samples to the largest fractional
+    remainders (ties broken toward earlier styles for determinism).
+    """
+    w = np.asarray(style_weights, np.float64)
+    if w.ndim != 1 or w.size == 0:
+        raise ValueError(
+            f"style_weights must be a 1-D sequence, got shape {w.shape}"
+        )
+    if not np.all(np.isfinite(w)) or np.any(w < 0) or w.sum() <= 0:
+        raise ValueError(
+            "style_weights must be finite, >= 0, with a positive sum, got "
+            f"{list(map(float, w))}"
+        )
+    raw = w / w.sum() * sample_size
+    base = np.floor(raw).astype(np.int64)
+    short = sample_size - int(base.sum())
+    # stable argsort on the negated remainder: earlier styles win ties
+    order = np.argsort(-(raw - base), kind="stable")
+    base[order[:short]] += 1
+    return tuple(int(b) for b in base)
+
+
+def _sample_multi_style_targets(spec: StepSpec, k_style, style_feats_list,
+                                style_ns: Tuple[int, ...]):
+    """Blended style target: ``style_ns[i]`` full-grid samples from style
+    ``i``'s hypercolumn (its own key stream), rows concatenated to the
+    standard (sample_size, C) matrix. With a single style and
+    ``style_ns == (sample_size,)`` the split-key stream differs from the
+    single-style path — callers collapse that case upstream instead."""
+    keys = jax.random.split(k_style, len(style_feats_list))
+    parts = [
+        sample_style(k, feats, n)
+        for k, feats, n in zip(keys, style_feats_list, style_ns)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 @partial(
     jax.jit,
     static_argnames=("spec", "mode", "chw", "shw", "levels"),
@@ -364,7 +434,7 @@ def prepare_scale(
 @partial(
     jax.jit,
     static_argnames=("spec", "n_steps", "mode", "chw", "shw", "levels",
-                     "mesh"),
+                     "mesh", "style_ns"),
     donate_argnames=("pyramid", "opt_state", "key"),
 )
 def run_scale(
@@ -389,6 +459,8 @@ def run_scale(
     style_masks=None,
     src_tag=None,
     mesh=None,
+    style_weights=None,
+    style_ns=None,
 ):
     """Per-scale setup + ``n_steps`` optimization steps as ONE program.
 
@@ -413,21 +485,38 @@ def run_scale(
     one-chunk-per-scale and a few ms per extra chunk when a finer
     ``log_every``/checkpoint cadence is requested.
     """
+    multi = isinstance(style, tuple)
     scl_c, scl_s, seed_pyramid = _scale_seed(
-        mode, chw, shw, levels, content, style, prev
+        mode, chw, shw, levels, content, style, prev, style_weights
     )
     if spec.shard_spatial:
         # one annotation per image: GSPMD spatially partitions both VGG
         # extractions (and, via loss_fn's matching constraint, the
         # per-step fwd+bwd conv stack) across the mesh's 'spatial' axis
         scl_c = _shard_spatial_constraint(scl_c, mesh)
-        scl_s = _shard_spatial_constraint(scl_s, mesh)
+        if multi:
+            scl_s = tuple(
+                _shard_spatial_constraint(s, mesh) for s in scl_s
+            )
+        else:
+            scl_s = _shard_spatial_constraint(scl_s, mesh)
     content_feats = extract_hypercolumn(spec, vgg_params, scl_c)
-    style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
 
-    style_targets = _sample_style_targets(
-        spec, k_style, style_feats, style_masks, shw
-    )
+    if multi:
+        # blended style target: per-style hypercolumns, style_ns[i]
+        # full-grid samples each, rows concatenated (see
+        # style_sample_counts). Masks are rejected upstream.
+        style_feats_list = [
+            extract_hypercolumn(spec, vgg_params, s) for s in scl_s
+        ]
+        style_targets = _sample_multi_style_targets(
+            spec, k_style, style_feats_list, style_ns
+        )
+    else:
+        style_feats = extract_hypercolumn(spec, vgg_params, scl_s)
+        style_targets = _sample_style_targets(
+            spec, k_style, style_feats, style_masks, shw
+        )
 
     cmasks = None
     if content_masks is not None:
@@ -993,6 +1082,7 @@ def stylize_single(
     snapshot_cb: Optional[Callable[[int, int, jnp.ndarray], None]] = None,
     mesh=None,
     init_image: Optional[jnp.ndarray] = None,
+    style_weights=None,
 ) -> Tuple[jnp.ndarray, Dict]:
     """Full coarse-to-fine stylization of one (content, style) pair.
 
@@ -1015,17 +1105,69 @@ def stylize_single(
     Use cases: refining a finished stylization with more steps, and
     frame-to-frame coherent video stylization (init frame t with frame
     t-1's output). TPU-native extension — the reference has no analogue.
+
+    ``style`` may also be a LIST/TUPLE of style images (each (1,H,W,3),
+    any shapes) with ``style_weights`` (same length, >= 0, positive sum):
+    multi-style blending. The style target becomes a weighted mixture —
+    ``style_sample_counts(weights, sample_size)`` full-grid samples drawn
+    from each style's own hypercolumn and concatenated — and the first
+    scale seeds from the weight-blended mean style color. Styles whose
+    apportioned count is 0 are dropped on host, so ``weights=[1, 0]``
+    reduces BIT-EXACTLY to the single-style run. Incompatible with region
+    masks (a mask pairs ONE content region with ONE style region).
+    TPU-native extension — the reference has no analogue.
     """
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     key = normalize_key(key)
+    multi = isinstance(style, (list, tuple))
+    style_ns: Optional[Tuple[int, ...]] = None
+    style_w_t = None
+    if multi:
+        styles = list(style)
+        if len(styles) == 0:
+            raise ValueError("style list must not be empty")
+        if style_weights is None:
+            style_weights = [1.0] * len(styles)
+        if len(style_weights) != len(styles):
+            raise ValueError(
+                f"style_weights has {len(style_weights)} entries for "
+                f"{len(styles)} styles — one weight per style"
+            )
+        if content_masks is not None or style_masks is not None:
+            raise ValueError(
+                "multi-style blending is incompatible with region masks — "
+                "each mask color pairs one content region with ONE style "
+                "region (run_strotss.py:97-125); pass a single style"
+            )
+        counts = style_sample_counts(style_weights, cfg.sample_size)
+        keep = [i for i, n in enumerate(counts) if n > 0]
+        styles = [styles[i] for i in keep]
+        if len(styles) == 1:
+            # zero-count styles dropped; a single survivor takes the
+            # single-style path exactly (same programs, same key stream)
+            style, multi = styles[0], False
+        else:
+            style = tuple(styles)
+            style_ns = tuple(counts[i] for i in keep)
+            style_w_t = jnp.asarray(
+                [float(style_weights[i]) for i in keep], jnp.float32
+            )
+    elif style_weights is not None:
+        raise ValueError(
+            "style_weights was given with a single style image — pass a "
+            "list of styles to blend, or drop the weights"
+        )
     # cap (not resize_max) at the library boundary: CLI/serve inputs were
     # already resized at load time, and resize_max is not idempotent — a
     # second application can shift the shape by one pixel and resample the
     # image again (see ops/image.cap_max). Raw library inputs larger than
     # the cap are downscaled exactly like the reference's load-time resize.
     content = cap_max(content, cfg.max_size)
-    style = cap_max(style, cfg.max_size)
+    if multi:
+        style = tuple(cap_max(s, cfg.max_size) for s in style)
+    else:
+        style = cap_max(style, cfg.max_size)
     from strotss_tpu.validation import check_start_level
 
     check_start_level(cfg)
@@ -1108,9 +1250,16 @@ def stylize_single(
         "seed": cfg.seed,
         "spec": [list(v) if isinstance(v, tuple) else v for v in spec],
         "content_shape": list(content.shape),
-        "style_shape": list(style.shape),
+        "style_shape": (
+            [list(s.shape) for s in style] if multi else list(style.shape)
+        ),
         "n_regions": int(content_masks.shape[0]) if use_mask else 0,
     }
+    if multi:
+        # blended runs can't resume cold-run checkpoints (different style
+        # target) — the weights/counts make the mismatch an error
+        fingerprint["style_weights"] = [float(w) for w in style_w_t]
+        fingerprint["style_ns"] = list(style_ns)
     if warm:
         # only present for warm-start runs: cold-run fingerprints stay
         # byte-identical to pre-feature checkpoints. A cold checkpoint
@@ -1135,7 +1284,11 @@ def stylize_single(
     # gate on the same condition the consumer loop uses (sharded runs
     # never call the AOT programs — precompiling them would pay the full
     # relay compile cost twice)
-    if cfg.precompile and not spec.shard_samples and not spec.shard_spatial:
+    if cfg.precompile and not multi and not spec.shard_samples \
+            and not spec.shard_spatial:
+        # multi-style runs compile on demand through run_scale (the AOT
+        # signature builder is single-style; blending is an interactive
+        # feature, not the serving hot path)
         programs = precompile_scales(
             cfg, spec, vgg_params, content.shape, style.shape,
             content_masks, style_masks,
@@ -1184,7 +1337,12 @@ def stylize_single(
 
         # init rules, run_strotss.py:74-89
         chw = resize_max_hw(content.shape[1], content.shape[2], scl)
-        shw = resize_max_hw(style.shape[1], style.shape[2], scl)
+        if multi:
+            shw = tuple(
+                resize_max_hw(s.shape[1], s.shape[2], scl) for s in style
+            )
+        else:
+            shw = resize_max_hw(style.shape[1], style.shape[2], scl)
         mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
         if i == 0 and warm:
             mode = "mid"  # seed from init_image (see _scale_signatures)
@@ -1247,6 +1405,7 @@ def stylize_single(
                         content_masks, style_masks, source_tag(),
                         mesh=mesh if (spec.shard_samples
                                   or spec.shard_spatial) else None,
+                        style_weights=style_w_t, style_ns=style_ns,
                     )
                 )
             is_first = False
@@ -1320,6 +1479,7 @@ def stylize_single(
                     content_masks, style_masks, source_tag(),
                     mesh=mesh if (spec.shard_samples
                                   or spec.shard_spatial) else None,
+                    style_weights=style_w_t, style_ns=style_ns,
                 )
         deferred = any(not isinstance(c, np.ndarray) for c in curve)
         if not deferred:

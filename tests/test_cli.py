@@ -68,3 +68,53 @@ def test_cli_end_to_end(tmp_path, rng):
     assert out.ndim == 3 and out.shape[2] == 3
     # a trace capture landed (plugins/ tree with at least one event file)
     assert os.path.isdir(pd) and any(os.scandir(pd))
+
+
+def test_parser_style2_defaults():
+    args = build_parser().parse_args(["c.jpg", "s.jpg"])
+    assert args.style2 is None and args.style_blend == 0.5
+    args = build_parser().parse_args(
+        ["c.jpg", "s.jpg", "--style2", "t.jpg", "--style_blend", "0.25"]
+    )
+    assert args.style2 == "t.jpg" and args.style_blend == 0.25
+
+
+def test_cli_style_blend_out_of_range(tmp_path, rng):
+    from PIL import Image
+
+    from strotss_tpu.cli import main
+
+    img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+    cp = str(tmp_path / "c.png")
+    Image.fromarray(img).save(cp)
+    with pytest.raises(ValueError, match="style_blend"):
+        main([cp, cp, "--style2", cp, "--style_blend", "1.5"])
+
+
+@pytest.mark.slow
+def test_cli_style_blend_end_to_end(tmp_path, rng):
+    """--style2/--style_blend run the blended program through main();
+    the test reuses the solve-level test shapes so the compiled multi
+    program is shared with tests/test_multistyle.py."""
+    from PIL import Image
+
+    from strotss_tpu.cli import main
+
+    c = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    s1 = (rng.random((44, 36, 3)) * 255).astype(np.uint8)
+    s2 = (rng.random((28, 52, 3)) * 255).astype(np.uint8)
+    cp, s1p, s2p = (str(tmp_path / n) for n in ("c.png", "s1.png", "s2.png"))
+    op = str(tmp_path / "out.jpg")
+    Image.fromarray(c).save(cp)
+    Image.fromarray(s1).save(s1p)
+    Image.fromarray(s2).save(s2p)
+
+    rc = main([
+        cp, s1p, "-o", op, "--style2", s2p, "--style_blend", "0.3",
+        "--level", "1", "--max_iter", "4", "--log_every", "2",
+        "--compute_dtype", "float32", "--no_pallas", "--sample_size", "64",
+        "--taps", "block1_conv1",
+    ])
+    assert rc == 0
+    out = np.asarray(Image.open(op))
+    assert out.ndim == 3 and out.shape[2] == 3
