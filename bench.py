@@ -137,6 +137,24 @@ def main() -> None:
         print(f"# masked (K=2): {time.perf_counter() - t0:.2f}s full "
               "multi-scale", file=sys.stderr)
 
+    # optional: multi-style blend mode — two styles, weights 0.7/0.3;
+    # stderr-only. Expect roughly +1 VGG style extraction per extra style
+    # per scale over the single run (the style target build), with the
+    # step scan itself unchanged (same (sample_size, C) target).
+    if os.environ.get("STROTSS_BENCH_MULTISTYLE"):
+        style_b = synth_image(1200, 900, 5)
+        weights = [0.7, 0.3]
+        stylize_single(content, [style, style_b], warm_cfg, params,
+                       style_weights=weights)  # compile
+        t0 = time.perf_counter()
+        img_b, _ = stylize_single(content, [style, style_b], cfg, params,
+                                  style_weights=weights)
+        jax.block_until_ready(img_b)
+        print(f"# multi-style (2 styles, 0.7/0.3): "
+              f"{time.perf_counter() - t0:.2f}s full multi-scale "
+              f"(single-style run above for the same relay state)",
+              file=sys.stderr)
+
     # optional: batched-throughput mode (BASELINE.json config 4) — report on
     # stderr, keep the driver's single JSON line on stdout
     batch = int(os.environ.get("STROTSS_BENCH_BATCH", "0"))

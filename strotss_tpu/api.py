@@ -43,7 +43,10 @@ def stylize(
     (one weight per style): multi-style blending — the style target is a
     weighted mixture of full-grid samples from each style (see
     :func:`strotss_tpu.solve.style_sample_counts`). Weights of 0 drop
-    their style exactly; incompatible with region masks.
+    their style exactly — and so does any weight small enough that its
+    largest-remainder share of ``cfg.sample_size`` samples rounds to 0
+    (e.g. 0.004 of 1024 under an 0.996 partner; a warning is logged).
+    Incompatible with region masks.
     """
     from strotss_tpu.validation import check_image, check_masks
 

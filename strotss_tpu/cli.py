@@ -83,10 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="second style image: blend two styles — the "
                              "style target mixes full-grid samples from "
                              "both in proportion to --style_blend")
-    parser.add_argument("--style_blend", type=float, default=0.5,
+    parser.add_argument("--style_blend", type=float, default=None,
                         help="weight of --style2 in [0,1] (style_path gets "
-                             "1-w). 0 or 1 reduce exactly to the "
-                             "single-style run of the surviving style")
+                             "1-w; default 0.5). 0 or 1 reduce exactly to "
+                             "the single-style run of the surviving style. "
+                             "Requires --style2")
     parser.add_argument("--start_level", type=int, default=0,
                         help="skip the coarsest N scales (alpha still "
                              "halves per skipped scale). With --init this "
@@ -185,14 +186,22 @@ def main(argv=None) -> int:
     content = load_image(args.content_path, max_size=args.max_size)
     style = load_image(args.style_path, max_size=args.max_size)
     style_weights = None
+    if args.style_blend is not None and not args.style2:
+        # a lone --style_blend would otherwise run a single-style job with
+        # no hint that the blend was ignored (a typo'd --style2 path lands
+        # in load_image's error instead, which is precise already)
+        raise ValueError(
+            "--style_blend requires --style2 (nothing to blend with)"
+        )
     if args.style2:
-        if not 0.0 <= args.style_blend <= 1.0:
+        blend = 0.5 if args.style_blend is None else args.style_blend
+        if not 0.0 <= blend <= 1.0:
             raise ValueError(
-                f"--style_blend must be in [0, 1], got {args.style_blend}"
+                f"--style_blend must be in [0, 1], got {blend}"
             )
         style2 = load_image(args.style2, max_size=args.max_size)
         style = [style, style2]
-        style_weights = [1.0 - args.style_blend, args.style_blend]
+        style_weights = [1.0 - blend, blend]
         logger.info(
             f"Blending styles: {args.style_path} ({style_weights[0]:.2f}) + "
             f"{args.style2} ({style_weights[1]:.2f})."

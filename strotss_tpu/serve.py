@@ -23,8 +23,14 @@ the first scale seeds from it; chain each video frame's job with
 warm jobs batch with other warm jobs, so B interleaved video streams
 advance one frame per batch at batched throughput), ``start_level``
 (skip the coarsest N scales — with ``init`` this is a refinement pass
-at the fine scales only). Shared knobs (resolution schedule,
-dtype, iterations, ...) come from the CLI flags. One result line per
+at the fine scales only), and — instead of ``style`` — ``styles`` (a
+LIST of style paths) with optional ``style_weights`` (one number per
+style): multi-style blending; the style target is a weighted mixture
+(see ``solve.style_sample_counts``). Blend jobs run singly (each blend
+is its own program signature), so they never stall a batched stream's
+groups — they flush the pending group like any non-batchable job.
+Shared knobs (resolution schedule, dtype, iterations, ...) come from
+the CLI flags. One result line per
 job streams to ``--results`` (default stdout) as soon as it finishes:
 
     {"output": "out.jpg", "ok": true, "seconds": 4.31, "loss": 0.021}
@@ -165,11 +171,36 @@ def _load_job_inputs(args, job: Dict):
     from strotss_tpu.ops.masks import load_mask
     from strotss_tpu.utils.io import load_image
 
-    for field in ("content", "style", "output"):
+    for field in ("content", "output"):
         if field not in job:
             raise ValueError(f"job is missing required field '{field}'")
+    if ("style" in job) == ("styles" in job):
+        raise ValueError(
+            "job needs exactly one of 'style' (a path) or 'styles' "
+            "(a list of paths for multi-style blending)"
+        )
     content = load_image(job["content"], max_size=args.max_size)
-    style = load_image(job["style"], max_size=args.max_size)
+    if "styles" in job:
+        paths = job["styles"]
+        if not isinstance(paths, list) or not paths:
+            raise ValueError("'styles' must be a non-empty list of paths")
+        style = [load_image(p, max_size=args.max_size) for p in paths]
+        weights = job.get("style_weights")
+        if weights is not None and (
+            not isinstance(weights, list) or len(weights) != len(paths)
+        ):
+            raise ValueError(
+                f"'style_weights' must be a list of {len(paths)} numbers "
+                "(one per style)"
+            )
+    else:
+        if "style_weights" in job:
+            raise ValueError(
+                "'style_weights' requires 'styles' (a list) — a single "
+                "'style' path has nothing to blend with"
+            )
+        style = load_image(job["style"], max_size=args.max_size)
+        weights = None
     cmask = smask = None
     has_c, has_s = "content_mask" in job, "style_mask" in job
     if has_c != has_s:
@@ -182,7 +213,7 @@ def _load_job_inputs(args, job: Dict):
     init = None
     if "init" in job:
         init = load_image(job["init"], max_size=args.max_size)
-    return content, style, cmask, smask, init
+    return content, style, cmask, smask, init, weights
 
 
 def _final_loss(info: Dict) -> Optional[float]:
@@ -196,11 +227,12 @@ def _run_single(args, job: Dict, vgg_params) -> Dict:
     from strotss_tpu.api import stylize
     from strotss_tpu.utils.io import write_image
 
-    content, style, cmask, smask, init = _load_job_inputs(args, job)
+    content, style, cmask, smask, init, weights = _load_job_inputs(args, job)
     t0 = time.perf_counter()
     img, info = stylize(content, style, _config(args, job),
                         content_masks=cmask, style_masks=smask,
-                        vgg_params=vgg_params, init_image=init)
+                        vgg_params=vgg_params, init_image=init,
+                        style_weights=weights)
     write_image(img, job["output"])
     out = {"output": job["output"], "ok": True,
            "seconds": round(time.perf_counter() - t0, 3)}
@@ -211,11 +243,12 @@ def _run_single(args, job: Dict, vgg_params) -> Dict:
 
 
 def _batchable(job: Dict) -> bool:
-    # batched pairs share one config; masks and program-shaping overrides
-    # (start_level changes which scales run) opt out. ``alpha`` and
-    # ``seed`` do NOT opt out: both ride the pair axis
-    # (stylize_batch(alphas=..., pair_keys=...)), so heterogeneous
-    # style-strength/seed jobs batch at full throughput.
+    # batched pairs share one config; masks, program-shaping overrides
+    # (start_level changes which scales run), and multi-style blends
+    # (per-job style tuples/sample apportionments are distinct program
+    # signatures) opt out. ``alpha`` and ``seed`` do NOT opt out: both
+    # ride the pair axis (stylize_batch(alphas=..., pair_keys=...)), so
+    # heterogeneous style-strength/seed jobs batch at full throughput.
     # Warm-start jobs batch with other warm jobs (the shape sig
     # keeps groups warm/cold homogeneous): B parallel video streams
     # advance one frame per batch at batched throughput. A chain WITHIN
@@ -225,7 +258,8 @@ def _batchable(job: Dict) -> bool:
     # emitted, file missing) fails that group's load and the
     # retry-singly path runs the frames in order.
     return not any(k in job for k in
-                   ("content_mask", "style_mask", "start_level"))
+                   ("content_mask", "style_mask", "start_level",
+                    "styles", "style_weights"))
 
 
 def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
@@ -238,7 +272,7 @@ def _run_batch(args, jobs: List[Dict], vgg_params, mesh=None) -> List[Dict]:
 
     contents, styles, inits = [], [], []
     for job in jobs:
-        c, s, _, _, init = _load_job_inputs(args, job)
+        c, s, _, _, init, _ = _load_job_inputs(args, job)
         contents.append(c)
         styles.append(s)
         if init is not None:

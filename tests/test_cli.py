@@ -71,12 +71,28 @@ def test_cli_end_to_end(tmp_path, rng):
 
 
 def test_parser_style2_defaults():
+    # style_blend parses to None so main() can tell "not passed" (the
+    # effective default 0.5 is applied there) from a typo'd lone flag
     args = build_parser().parse_args(["c.jpg", "s.jpg"])
-    assert args.style2 is None and args.style_blend == 0.5
+    assert args.style2 is None and args.style_blend is None
     args = build_parser().parse_args(
         ["c.jpg", "s.jpg", "--style2", "t.jpg", "--style_blend", "0.25"]
     )
     assert args.style2 == "t.jpg" and args.style_blend == 0.25
+
+
+def test_cli_style_blend_without_style2_errors(tmp_path, rng):
+    """A lone --style_blend must error, not silently run single-style
+    (ADVICE r4: a typo'd invocation dropped the blend with no warning)."""
+    from PIL import Image
+
+    from strotss_tpu.cli import main
+
+    img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+    cp = str(tmp_path / "c.png")
+    Image.fromarray(img).save(cp)
+    with pytest.raises(ValueError, match="requires --style2"):
+        main([cp, cp, "--style_blend", "0.3"])
 
 
 def test_cli_style_blend_out_of_range(tmp_path, rng):

@@ -116,6 +116,49 @@ def test_blended_two_styles_end_to_end(rng):
     assert curve.shape == (cfg.max_iter, 3) and np.isfinite(curve).all()
 
 
+def test_scale_signatures_multi_style_shapes():
+    """Tuple style shapes produce per-style shw tuples at every scale —
+    the static shw run_scale's blended programs are traced with."""
+    from strotss_tpu.solve import _scale_signatures
+
+    cfg = _tiny_cfg(levels=2)
+    sigs = _scale_signatures(
+        cfg, (1, 40, 48, 3), ((1, 44, 36, 3), (1, 28, 52, 3))
+    )
+    single = _scale_signatures(cfg, (1, 40, 48, 3), (1, 44, 36, 3))
+    assert len(sigs) == len(single)
+    for (_, _, _, chw_m, shw_m, prev_m), (_, _, _, chw_s, shw_s, prev_s) \
+            in zip(sigs, single):
+        assert chw_m == chw_s and prev_m == prev_s
+        assert len(shw_m) == 2 and shw_m[0] == shw_s
+        assert all(isinstance(hw, tuple) and len(hw) == 2 for hw in shw_m)
+
+
+@pytest.mark.slow
+def test_blended_aot_precompile_matches_jit_path(rng):
+    """The blended programs ride the AOT precompile path (VERDICT r4
+    next-round 1c): the program table is populated, and the AOT-executed
+    run is bit-identical to the jit-path run (same jaxpr, same key
+    stream — only the compile/load orchestration differs)."""
+    content, style_a, style_b = _images(rng)
+    params = random_params("16", 0)
+    img_a, info_a = stylize_single(
+        content, [style_a, style_b], _tiny_cfg(), params,
+        style_weights=[0.7, 0.3],
+    )
+    # the AOT table compiled this run's programs (one scale, chunks of 2)
+    assert "programs" in info_a and len(info_a["programs"]) >= 1
+    img_j, info_j = stylize_single(
+        content, [style_a, style_b], _tiny_cfg(precompile=False), params,
+        style_weights=[0.7, 0.3],
+    )
+    assert "programs" not in info_j
+    np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_j))
+    np.testing.assert_array_equal(
+        info_a["scales"][0]["curve"], info_j["scales"][0]["curve"]
+    )
+
+
 @pytest.mark.slow
 def test_blend_of_identical_styles_seeds_like_single(rng):
     """max_iter=0 isolates the first-scale seed: the weight-blended mean

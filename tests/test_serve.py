@@ -590,3 +590,58 @@ def test_serve_chain_dependency_never_batches_with_producer(tmp_path, rng):
     assert [r["ok"] for r in results] == [True, True]
     # same shapes + both warm would batch — the dependency must flush
     assert all("batched" not in r for r in results)
+
+
+@pytest.mark.slow
+def test_serve_multi_style_jobs(tmp_path, rng):
+    """Per-job "styles"/"style_weights": blend jobs run singly (their own
+    program signature) without breaking batched neighbors, and the field
+    validation surfaces per-job errors instead of killing the stream."""
+    from PIL import Image
+
+    cp, sp = _write_inputs(tmp_path, rng)
+    s2 = (rng.random((28, 52, 3)) * 255).astype(np.uint8)
+    s2p = str(tmp_path / "s2.png")
+    Image.fromarray(s2).save(s2p)
+    outs = [str(tmp_path / f"m{i}.jpg") for i in range(4)]
+    results = _serve(tmp_path, [
+        {"content": cp, "styles": [sp, s2p], "style_weights": [0.7, 0.3],
+         "output": outs[0]},
+        # equal weights by default
+        {"content": cp, "styles": [sp, s2p], "output": outs[1]},
+        # both 'style' and 'styles' -> per-job error
+        {"content": cp, "style": sp, "styles": [sp, s2p],
+         "output": outs[2]},
+        # 'style_weights' without 'styles' -> per-job error
+        {"content": cp, "style": sp, "style_weights": [1.0],
+         "output": outs[3]},
+    ])
+    assert [r["ok"] for r in results] == [True, True, False, False]
+    assert os.path.exists(outs[0]) and os.path.exists(outs[1])
+    assert "exactly one of" in results[2]["error"]
+    assert "requires 'styles'" in results[3]["error"]
+    a = np.asarray(Image.open(outs[0])).astype(int)
+    b = np.asarray(Image.open(outs[1])).astype(int)
+    # different blend weights -> different stylizations
+    assert a.shape == b.shape and np.abs(a - b).max() > 0
+
+
+@pytest.mark.slow
+def test_serve_multi_style_flushes_batch_group(tmp_path, rng):
+    """A blend job between two batchable jobs flushes the pending group
+    (it is non-batchable) and the stream keeps serving."""
+    cp, sp = _write_inputs(tmp_path, rng)
+    s2p = str(tmp_path / "s2.png")
+    from PIL import Image
+
+    Image.fromarray(
+        (rng.random((28, 52, 3)) * 255).astype(np.uint8)).save(s2p)
+    outs = [str(tmp_path / f"f{i}.jpg") for i in range(3)]
+    results = _serve(tmp_path, [
+        {"content": cp, "style": sp, "output": outs[0]},
+        {"content": cp, "styles": [sp, s2p], "output": outs[1]},
+        {"content": cp, "style": sp, "output": outs[2]},
+    ], extra=("--batch", "2"))
+    assert [r["ok"] for r in results] == [True, True, True]
+    # the blend split the stream: no group ever filled to 2
+    assert all("batched" not in r for r in results)

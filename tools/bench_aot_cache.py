@@ -9,6 +9,12 @@ disk. This tool measures both phases on the REAL bench programs:
     python tools/bench_aot_cache.py save   # build + serialize all scales
     python tools/bench_aot_cache.py load   # fresh process: deserialize,
                                            # execute 64px program once
+    python tools/bench_aot_cache.py load0  # fresh process: deserialize
+                                           # ONLY scale-0 (VERDICT r4 #5:
+                                           # one-program scope shrinks the
+                                           # deserialize cost and the
+                                           # lazy-failure blast radius),
+                                           # execute it once
 
 If `load` lands well under the ~26 s lower+compile warm floor, the
 mechanism graduates into ``precompile_scales``.
@@ -94,10 +100,17 @@ def main() -> None:
                   f"in {time.perf_counter() - t0:.2f}s -> {path}")
         return
 
-    # ---- load phase (run in a FRESH process) ------------------------------
+    # ---- load phases (run in a FRESH process) ------------------------------
+    # "load": deserialize ALL scales. "load0": ONLY scale-0 — measures the
+    # floor of a hybrid warm start where scale 0 skips trace/lower/compile
+    # and scales 1-3 take the normal precompile path concurrently.
+    only0 = phase == "load0"
     loaded = {}
     t_load0 = time.perf_counter()
-    for fn in sorted(os.listdir(CACHE)):
+    files = sorted(os.listdir(CACHE))
+    if only0:
+        files = [fn for fn in files if fn.startswith("scale0_")]
+    for fn in files:
         with open(os.path.join(CACHE, fn), "rb") as f:
             key, payload, in_tree, out_tree = pickle.load(f)
         t0 = time.perf_counter()
