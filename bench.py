@@ -110,6 +110,14 @@ def main() -> None:
     jax.block_until_ready(img)
     elapsed = time.perf_counter() - t0
 
+    # optional visual artifact: save the measured run's stylization (the
+    # analogue of the reference's committed output.png, README.md:5-7)
+    save_to = os.environ.get("STROTSS_BENCH_SAVE")
+    if save_to:
+        from strotss_tpu.utils.io import write_image
+
+        write_image(img, save_to)
+
     steps = cfg.levels * cfg.max_iter
     # per-scale seconds are DISPATCH times here: with no per-chunk consumer
     # the solver defers metric fetches and the 4 scales pipeline on-device
