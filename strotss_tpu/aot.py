@@ -87,6 +87,33 @@ def source_tag() -> np.ndarray:
     return np.zeros((_SRC_TAG_DIM,), np.float32)
 
 
+def scale_mode_shapes(cfg, content_shape, style_shape, scale_index, scl,
+                      warm_start):
+    """(mode, chw, shw) for one scale — the SINGLE source of truth for the
+    per-scale program identity, shared by the solver loop
+    (``solve.stylize_single``) and ``_scale_signatures`` so the AOT table
+    keys / static args can never drift from what the loop actually calls
+    (a drift would silently fall back to 20-120 s/program relay jits).
+
+    ``content_shape``/``style_shape`` are (1,H,W,3) shapes; multi-style
+    blending passes a tuple of per-style shapes and gets a tuple ``shw``.
+    """
+    chw = resize_max_hw(content_shape[1], content_shape[2], scl)
+    if isinstance(style_shape[0], (tuple, list)):
+        shw = tuple(resize_max_hw(s[1], s[2], scl) for s in style_shape)
+    else:
+        shw = resize_max_hw(style_shape[1], style_shape[2], scl)
+    mode = "first" if scale_index == 0 else (
+        "mid" if scale_index < cfg.levels - 1 else "last")
+    if scale_index == 0 and warm_start:
+        # warm start: scale 0 seeds from the init image via the "mid"
+        # rule (resize(init) + content Laplacian) instead of the cold
+        # style-mean seed — same program signature as "mid" scales,
+        # just at the coarse resolution (stylize_single's init_image)
+        mode = "mid"
+    return mode, chw, shw
+
+
 def _scale_signatures(
     cfg: StrotssConfig,
     content_shape,
@@ -110,7 +137,6 @@ def _scale_signatures(
     tuple of per-style shapes; each signature's ``shw`` is then the tuple
     of per-style target (h, w), matching ``run_scale``'s static ``shw``.
     """
-    multi = isinstance(style_shape[0], (tuple, list))
     sigs = []
     prev_shape = tuple(content_shape)
     if warm_start:
@@ -121,20 +147,9 @@ def _scale_signatures(
         chw0 = warm_init_hw(content_shape[1], content_shape[2], cfg)
         prev_shape = (1, chw0[0], chw0[1], 3)
     for i, scl in enumerate(cfg.scale_sizes()):
-        chw = resize_max_hw(content_shape[1], content_shape[2], scl)
-        if multi:
-            shw = tuple(
-                resize_max_hw(s[1], s[2], scl) for s in style_shape
-            )
-        else:
-            shw = resize_max_hw(style_shape[1], style_shape[2], scl)
-        mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
-        if i == 0 and warm_start:
-            # warm start: scale 0 seeds from the init image via the "mid"
-            # rule (resize(init) + content Laplacian) instead of the cold
-            # style-mean seed — same program signature as "mid" scales,
-            # just at the coarse resolution (stylize_single's init_image)
-            mode = "mid"
+        mode, chw, shw = scale_mode_shapes(
+            cfg, content_shape, style_shape, i, scl, warm_start
+        )
         if i >= resume_scale:
             steps = cfg.max_iter - (resume_done if i == resume_scale else 0)
             for n in dict.fromkeys(chunk_plan(steps, cfg.log_every)):

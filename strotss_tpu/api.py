@@ -35,10 +35,12 @@ def stylize(
     partitions the conv stack of a single high-res stylization under
     ``cfg.shard_spatial`` (the two compose on a 2-D mesh).
     ``init_image``: optional (1,H,W,3) float [0,1] warm start — the first
-    scale seeds from it instead of the cold content+style-mean seed (any
-    resolution; it is resized to the content's). Feed a finished result
-    back in to refine it, or the previous frame's output for
-    frame-coherent video stylization.
+    executed scale seeds from it instead of the cold content+style-mean
+    seed (any resolution; it gets exactly ONE bilinear resize, directly to
+    that scale's resolution — do not pre-resize, composed resamples
+    perturb refinement chains). Feed a finished result back in to refine
+    it, or the previous frame's output for frame-coherent video
+    stylization.
     ``style`` may be a list/tuple of style images with ``style_weights``
     (one weight per style): multi-style blending — the style target is a
     weighted mixture of full-grid samples from each style (see

@@ -183,9 +183,8 @@ def main(argv=None) -> int:
         remat=args.remat,
     )
 
-    content = load_image(args.content_path, max_size=args.max_size)
-    style = load_image(args.style_path, max_size=args.max_size)
-    style_weights = None
+    # argument-consistency checks before any image I/O — a bad flag combo
+    # must fail instantly, not after two multi-megapixel decodes
     if args.style_blend is not None and not args.style2:
         # a lone --style_blend would otherwise run a single-style job with
         # no hint that the blend was ignored (a typo'd --style2 path lands
@@ -193,12 +192,16 @@ def main(argv=None) -> int:
         raise ValueError(
             "--style_blend requires --style2 (nothing to blend with)"
         )
+    blend = 0.5 if args.style_blend is None else args.style_blend
+    if args.style2 and not 0.0 <= blend <= 1.0:
+        raise ValueError(
+            f"--style_blend must be in [0, 1], got {blend}"
+        )
+
+    content = load_image(args.content_path, max_size=args.max_size)
+    style = load_image(args.style_path, max_size=args.max_size)
+    style_weights = None
     if args.style2:
-        blend = 0.5 if args.style_blend is None else args.style_blend
-        if not 0.0 <= blend <= 1.0:
-            raise ValueError(
-                f"--style_blend must be in [0, 1], got {blend}"
-            )
         style2 = load_image(args.style2, max_size=args.max_size)
         style = [style, style2]
         style_weights = [1.0 - blend, blend]

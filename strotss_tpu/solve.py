@@ -67,6 +67,7 @@ from strotss_tpu.aot import (  # noqa: F401
     _preload_enabled,
     _scale_signatures,
     precompile_scales,
+    scale_mode_shapes,
     source_tag,
 )
 
@@ -356,17 +357,17 @@ def stylize_single(
             alpha /= 2.0
             continue
 
-        # init rules, run_strotss.py:74-89
-        chw = resize_max_hw(content.shape[1], content.shape[2], scl)
-        if multi:
-            shw = tuple(
-                resize_max_hw(s.shape[1], s.shape[2], scl) for s in style
-            )
-        else:
-            shw = resize_max_hw(style.shape[1], style.shape[2], scl)
-        mode = "first" if i == 0 else ("mid" if i < cfg.levels - 1 else "last")
-        if i == 0 and warm:
-            mode = "mid"  # seed from init_image (see _scale_signatures)
+        # init rules, run_strotss.py:74-89 — mode/chw/shw come from the
+        # same helper the AOT signature builder uses, so the program the
+        # loop calls is BY CONSTRUCTION the one precompile_scales compiled
+        mode, chw, shw = scale_mode_shapes(
+            cfg,
+            content.shape,
+            tuple(s.shape for s in style) if multi else style.shape,
+            i,
+            scl,
+            warm,
+        )
         lr = cfg.lr / 2 if (i == cfg.levels - 1 and i > 0) else cfg.lr
         lr_t = jnp.asarray(lr, jnp.float32)
         prev = stylized if stylized is not None else content

@@ -134,6 +134,42 @@ def test_scale_signatures_multi_style_shapes():
         assert all(isinstance(hw, tuple) and len(hw) == 2 for hw in shw_m)
 
 
+def test_scale_mode_shapes_single_source_of_truth():
+    """``aot.scale_mode_shapes`` is the one place (mode, chw, shw) comes
+    from — the solver loop and ``_scale_signatures`` both call it, so the
+    AOT table keys can never drift from the programs the loop calls. Lock
+    the mode schedule, the warm-start override, and the multi-style shw
+    tuple here (pure function, no compile)."""
+    from strotss_tpu.aot import scale_mode_shapes
+
+    cfg = _tiny_cfg(levels=4)
+    cshape, ashape, bshape = (1, 40, 48, 3), (1, 44, 36, 3), (1, 28, 52, 3)
+    modes = [
+        scale_mode_shapes(cfg, cshape, ashape, i, scl, False)[0]
+        for i, scl in enumerate(cfg.scale_sizes())
+    ]
+    assert modes == ["first", "mid", "mid", "last"]
+    # warm start rewrites ONLY scale 0's seed rule to "mid"
+    warm = [
+        scale_mode_shapes(cfg, cshape, ashape, i, scl, True)[0]
+        for i, scl in enumerate(cfg.scale_sizes())
+    ]
+    assert warm == ["mid", "mid", "mid", "last"]
+    # multi-style: shw is the per-style tuple, chw/mode unchanged
+    scl0 = cfg.scale_sizes()[0]
+    mode_s, chw_s, shw_s = scale_mode_shapes(cfg, cshape, ashape, 0, scl0,
+                                             False)
+    mode_m, chw_m, shw_m = scale_mode_shapes(
+        cfg, cshape, (ashape, bshape), 0, scl0, False
+    )
+    assert (mode_m, chw_m) == (mode_s, chw_s)
+    assert shw_m[0] == shw_s and len(shw_m) == 2
+    # single-level config: i==0 wins, the only scale seeds as "first"
+    cfg1 = _tiny_cfg(levels=1)
+    assert scale_mode_shapes(cfg1, cshape, ashape, 0,
+                             cfg1.scale_sizes()[0], False)[0] == "first"
+
+
 @pytest.mark.slow
 def test_blended_aot_precompile_matches_jit_path(rng):
     """The blended programs ride the AOT precompile path (VERDICT r4

@@ -49,6 +49,10 @@ def _bench_inputs():
 
 def main() -> None:
     phase = sys.argv[1] if len(sys.argv) > 1 else "save"
+    if phase not in ("save", "load", "load0"):
+        # a typo'd phase must not silently run the all-scales "load"
+        # measurement (these numbers are cited in DEPLOY/ROUND5 docs)
+        raise SystemExit(f"unknown phase {phase!r}: expected save|load|load0")
     t_start = time.perf_counter()
 
     import jax
