@@ -149,16 +149,24 @@ def main() -> None:
     # stderr-only. Expect roughly +1 VGG style extraction per extra style
     # per scale over the single run (the style target build), with the
     # step scan itself unchanged (same (sample_size, C) target).
-    if os.environ.get("STROTSS_BENCH_MULTISTYLE"):
-        style_b = synth_image(1200, 900, 5)
-        weights = [0.7, 0.3]
-        stylize_single(content, [style, style_b], warm_cfg, params,
+    ms = os.environ.get("STROTSS_BENCH_MULTISTYLE")
+    if ms:
+        # "1" (the documented switch) = the 2-style 0.7/0.3 blend; N>=3
+        # blends N styles (first weight 2, the rest 1) — same program
+        # class, one extra per-scale style extraction per extra style
+        n_styles = int(ms) if ms.isdigit() and int(ms) >= 3 else 2
+        extras = [synth_image(1200 - 120 * i, 900 + 80 * i, 5 + i)
+                  for i in range(n_styles - 1)]
+        weights = ([0.7, 0.3] if n_styles == 2
+                   else [2.0] + [1.0] * (n_styles - 1))
+        styles_ms = [style] + extras
+        stylize_single(content, styles_ms, warm_cfg, params,
                        style_weights=weights)  # compile
         t0 = time.perf_counter()
-        img_b, _ = stylize_single(content, [style, style_b], cfg, params,
+        img_b, _ = stylize_single(content, styles_ms, cfg, params,
                                   style_weights=weights)
         jax.block_until_ready(img_b)
-        print(f"# multi-style (2 styles, 0.7/0.3): "
+        print(f"# multi-style ({n_styles} styles, weights {weights}): "
               f"{time.perf_counter() - t0:.2f}s full multi-scale "
               f"(single-style run above for the same relay state)",
               file=sys.stderr)

@@ -88,6 +88,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "1-w; default 0.5). 0 or 1 reduce exactly to "
                              "the single-style run of the surviving style. "
                              "Requires --style2")
+    parser.add_argument("--styles", type=str, nargs="+", default=None,
+                        help="additional style images beyond style_path: "
+                             "blend N styles (generalizes --style2 and "
+                             "mirrors serve's 'styles' job field). "
+                             "Weights via --style_weights")
+    parser.add_argument("--style_weights", type=float, nargs="+",
+                        default=None,
+                        help="one non-negative weight per style, positional "
+                             "style_path first (len = 1 + len(--styles)); "
+                             "relative, need not sum to 1; default equal. "
+                             "0 drops a style exactly. Requires --styles")
     parser.add_argument("--start_level", type=int, default=0,
                         help="skip the coarsest N scales (alpha still "
                              "halves per skipped scale). With --init this "
@@ -197,6 +208,22 @@ def main(argv=None) -> int:
         raise ValueError(
             f"--style_blend must be in [0, 1], got {blend}"
         )
+    if args.styles and (args.style2 or args.style_blend is not None):
+        raise ValueError(
+            "--styles is mutually exclusive with --style2/--style_blend "
+            "(fold the second style into --styles with --style_weights)"
+        )
+    if args.style_weights is not None and not args.styles:
+        raise ValueError(
+            "--style_weights requires --styles (nothing to weight)"
+        )
+    if args.styles and args.style_weights is not None \
+            and len(args.style_weights) != 1 + len(args.styles):
+        raise ValueError(
+            f"--style_weights needs {1 + len(args.styles)} numbers "
+            f"(style_path first, then the {len(args.styles)} --styles), "
+            f"got {len(args.style_weights)}"
+        )
 
     content = load_image(args.content_path, max_size=args.max_size)
     style = load_image(args.style_path, max_size=args.max_size)
@@ -208,6 +235,20 @@ def main(argv=None) -> int:
         logger.info(
             f"Blending styles: {args.style_path} ({style_weights[0]:.2f}) + "
             f"{args.style2} ({style_weights[1]:.2f})."
+        )
+    elif args.styles:
+        extras = [load_image(p, max_size=args.max_size) for p in args.styles]
+        style = [style, *extras]
+        # equal weights by default; bad weight VALUES (negative, all-zero)
+        # fail downstream in style_sample_counts with precise messages
+        style_weights = (list(args.style_weights)
+                         if args.style_weights is not None
+                         else [1.0] * len(style))
+        names = [args.style_path, *args.styles]
+        logger.info(
+            "Blending styles: "
+            + " + ".join(f"{p} ({w:g})"
+                         for p, w in zip(names, style_weights)) + "."
         )
     init_image = None
     if args.init:

@@ -107,6 +107,66 @@ def test_cli_style_blend_out_of_range(tmp_path, rng):
         main([cp, cp, "--style2", cp, "--style_blend", "1.5"])
 
 
+def test_cli_styles_arg_errors_fail_fast():
+    """--styles/--style_weights consistency errors fire BEFORE any image
+    I/O: nonexistent paths still produce the ValueError (a load-first
+    ordering would surface FileNotFoundError instead)."""
+    from strotss_tpu.cli import main
+
+    with pytest.raises(ValueError, match="requires --styles"):
+        main(["no_c.png", "no_s.png", "--style_weights", "1", "2"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        main(["no_c.png", "no_s.png", "--styles", "x.png",
+              "--style2", "y.png"])
+    with pytest.raises(ValueError, match="needs 3 numbers"):
+        main(["no_c.png", "no_s.png", "--styles", "a.png", "b.png",
+              "--style_weights", "1", "2", "3", "4"])
+    # the 2-style flags' own checks fire before I/O too
+    with pytest.raises(ValueError, match="requires --style2"):
+        main(["no_c.png", "no_s.png", "--style_blend", "0.3"])
+
+
+def test_parser_styles_defaults():
+    args = build_parser().parse_args(["c.jpg", "s.jpg"])
+    assert args.styles is None and args.style_weights is None
+    args = build_parser().parse_args(
+        ["c.jpg", "s.jpg", "--styles", "a.jpg", "b.jpg",
+         "--style_weights", "2", "1", "1"]
+    )
+    assert args.styles == ["a.jpg", "b.jpg"]
+    assert args.style_weights == [2.0, 1.0, 1.0]
+
+
+@pytest.mark.slow
+def test_cli_three_styles_end_to_end(tmp_path, rng):
+    """--styles blends N>2 styles through main() — the CLI reaches the
+    same N-style solve path serve's 'styles' jobs use."""
+    from PIL import Image
+
+    from strotss_tpu.cli import main
+
+    c = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+    s1 = (rng.random((44, 36, 3)) * 255).astype(np.uint8)
+    s2 = (rng.random((28, 52, 3)) * 255).astype(np.uint8)
+    s3 = (rng.random((32, 40, 3)) * 255).astype(np.uint8)
+    cp, s1p, s2p, s3p = (str(tmp_path / n)
+                         for n in ("c.png", "s1.png", "s2.png", "s3.png"))
+    op = str(tmp_path / "out.jpg")
+    for a, p in ((c, cp), (s1, s1p), (s2, s2p), (s3, s3p)):
+        Image.fromarray(a).save(p)
+
+    rc = main([
+        cp, s1p, "-o", op, "--styles", s2p, s3p,
+        "--style_weights", "2", "1", "1",
+        "--level", "1", "--max_iter", "4", "--log_every", "2",
+        "--compute_dtype", "float32", "--no_pallas", "--sample_size", "64",
+        "--taps", "block1_conv1",
+    ])
+    assert rc == 0
+    out = np.asarray(Image.open(op))
+    assert out.ndim == 3 and out.shape[2] == 3
+
+
 @pytest.mark.slow
 def test_cli_style_blend_end_to_end(tmp_path, rng):
     """--style2/--style_blend run the blended program through main();
